@@ -1,0 +1,207 @@
+"""Typed runtime configuration + reference `input.par` compatibility.
+
+Collapses the reference's two config tiers — CMake compile-time defines and
+the ini-file runtime keys (SURVEY.md §5.6) — into one typed config.  The
+`input.par` reader keeps the reference's key names and semantics
+(parameter_inifile, /root/reference/barlib/src/ini_reader.cpp:15-41;
+INIT_PARAMS, init_par.cc:41-416) so cross-validation runs share one file.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from pathlib import Path
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu import cosmo as cosmo_mod
+from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams
+from barcode_tpu.model.posterior import ModelConfig
+
+
+def parse_input_par(path) -> dict:
+    """key=value ini parser: strips spaces and '#' comments, booleans as
+    true/false (ini_reader.cpp:15-41)."""
+    out = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or "=" not in line:
+            continue
+        key, val = line.split("=", 1)
+        out[key.strip()] = val.strip()
+    return out
+
+
+def _get(d, key, cast, default=None):
+    if key not in d:
+        if default is None:
+            raise KeyError(f"missing input.par key: {key}")
+        return default
+    v = d[key]
+    if cast is bool:
+        return v.lower() == "true"
+    return cast(v)
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    """Sampler knobs (input.par pseudo-timestep + mass blocks)."""
+
+    N_eps_fac: int = 8                 # max leapfrog steps per trajectory
+    eps_fac: float = 0.0               # 0 -> heuristic target (init_par.cc:259-261)
+    eps_fac_update_type: int = 3       # 0 const / 1 decay / 2 acc-window / 3 = 2+fast-start
+    eps_fac_initial: float = 0.5
+    eps_fac_power: float = 2.0
+    s_eps_total_fac: float = 158.0
+    s_eps_total_scaling: float = 0.5
+    s_eps_total_Nx_norm: int = 64
+    N_a_eps_update: int = 100
+    acc_min: float = 0.6
+    acc_max: float = 0.7
+    eps_down_smooth: int = 5
+    eps_up_fac: float = 1.0
+    mass_type: int = 1                 # HMC_mass.cc:315-368
+    massnum_burn: int = 0              # 0 -> never recompute (init_par.cc:322-331)
+    massnum_post: int = 0
+    itmax: int = 2000
+    total_steps_lim: int = 0           # 0 -> unlimited
+    div_dH_by_N: bool = False
+    mass_factor: float = 1.0
+
+    def eps_fac_target(self, N: int) -> float:
+        """Heuristic optimal step scale 2.389 N^-0.575 (init_par.cc:260)."""
+        if self.eps_fac > 0:
+            return self.eps_fac
+        return 2.38902581 * N ** (-0.57495347)
+
+    def eps_fac_start(self, N: int) -> float:
+        t = self.eps_fac_update_type
+        if t == 0:
+            return self.eps_fac_target(N)
+        if t == 1:
+            return self.eps_fac_initial if self.eps_fac_initial > 0 else self.eps_fac_target(N)
+        # types 2/3: explicit eps_fac if given, else 2.0 (init_par.cc:281-289)
+        return self.eps_fac if self.eps_fac > 0 else 2.0
+
+    def s_eps_total(self, N: int) -> int:
+        """eps-update cadence 158 (N/64^3)^0.5 attempts (init_par.cc:294-295)."""
+        base = N / float(self.s_eps_total_Nx_norm**3)
+        return max(1, int(math.ceil(self.s_eps_total_fac * base**self.s_eps_total_scaling)))
+
+
+@dataclasses.dataclass(frozen=True)
+class MockConfig:
+    """random_test mock-data generation (barcoderunner.cc:42-205)."""
+
+    random_test: bool = True
+    random_test_rsd: bool = False
+    window_type: int = 1        # 1 ones / 10 half / 23 delta>3 mask
+    data_model: int = 0         # 0 linear / 1 lognormal
+    negative_obs: bool = False
+    sigma_min: float = 1.0
+    sigma_fac: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    grid: GridSpec = GridSpec.cube(64, 200.0)
+    model: ModelConfig = ModelConfig()
+    hmc: HMCConfig = HMCConfig()
+    mock: MockConfig = MockConfig()
+    cosmology: str = "wmap7_max"       # reference default cmbcosm=3
+    z: float = 0.0
+    seed: int = 1
+    n_chains: int = 1
+    N_bin: int = 200
+    N_Gibbs: int = 10000
+    outnum: int = 10
+    outnum_ps: int = 10
+    dir: str = "./output/"
+    fnamePS: str = ""
+    initial_guess: int = 0             # 0 zero / 2 GRF / 3 smoothed GRF / 4 noise
+    initial_guess_smoothing_scale: float = 20.0
+    initial_guess_smoothing_type: int = 1
+    initial_guess_file: str = ""
+    delta_min: float = -0.999
+
+    def cosmo(self) -> cosmo_mod.Cosmology:
+        return cosmo_mod.preset(self.cosmology, self.z)
+
+    def growth(self) -> GrowthParams:
+        c = self.cosmo()
+        return GrowthParams(
+            D1=cosmo_mod.d_growth(c),
+            D2=cosmo_mod.d2_growth(c),
+            ascale=c.ascale,
+            cpecvel=cosmo_mod.c_pecvel(c),
+            hubble=cosmo_mod.hubble_a(c),
+        )
+
+    @classmethod
+    def from_input_par(cls, path) -> "RunConfig":
+        p = parse_input_par(path)
+        N = _get(p, "Nx", int)
+        L = _get(p, "Lx", float)
+        grid = GridSpec.cube(N, L)
+        fwd = ForwardConfig(
+            sfmodel=_get(p, "sfmodel", int, 1),
+            masskernel=_get(p, "masskernel", int, 3),
+            rsd=_get(p, "rsd_model", bool, False),
+            periodic=_get(p, "periodic", bool, True),
+            slength=_get(p, "slength", float, 4.0),
+            kernel_h_rel=_get(p, "particle_kernel_h_rel", float, 1.0),
+        )
+        model = ModelConfig(
+            likelihood=_get(p, "likelihood", int, 1),
+            prior=_get(p, "prior", int, 0),
+            forward=fwd,
+            deltaQ_factor=_get(p, "deltaQ_factor", float, 1.0),
+        )
+        hmc = HMCConfig(
+            N_eps_fac=int(_get(p, "N_eps_fac", float, 8.0)),
+            eps_fac=_get(p, "eps_fac", float, 0.0),
+            eps_fac_update_type=_get(p, "eps_fac_update_type", int, 3),
+            eps_fac_initial=_get(p, "eps_fac_initial", float, 0.5),
+            eps_fac_power=_get(p, "eps_fac_power", float, 2.0),
+            s_eps_total_fac=_get(p, "s_eps_total_fac", float, 158.0),
+            s_eps_total_scaling=_get(p, "s_eps_total_scaling", float, 0.5),
+            s_eps_total_Nx_norm=_get(p, "s_eps_total_Nx_norm", int, 64),
+            N_a_eps_update=_get(p, "N_a_eps_update", int, 100),
+            acc_min=_get(p, "acc_min", float, 0.6),
+            acc_max=_get(p, "acc_max", float, 0.7),
+            eps_down_smooth=_get(p, "eps_down_smooth", int, 5),
+            eps_up_fac=_get(p, "eps_up_fac", float, 1.0),
+            mass_type=_get(p, "mass_type", int, 1),
+            massnum_burn=_get(p, "massnum_burn", int, 0),
+            massnum_post=_get(p, "massnum_post", int, 0),
+            total_steps_lim=_get(p, "total_steps_lim", int, 0),
+            div_dH_by_N=_get(p, "div_dH_by_N", bool, False),
+            mass_factor=_get(p, "mass_factor", float, 1.0),
+        )
+        mock = MockConfig(
+            random_test=_get(p, "random_test", bool, True),
+            random_test_rsd=_get(p, "random_test_rsd", bool, False),
+            window_type=_get(p, "window_type", int, 1),
+            data_model=_get(p, "data_model", int, 0),
+            negative_obs=_get(p, "negative_obs", bool, False),
+            sigma_min=_get(p, "sigma_min", float, 1.0),
+            sigma_fac=_get(p, "sigma_fac", float, 0.0),
+        )
+        return cls(
+            grid=grid,
+            model=model,
+            hmc=hmc,
+            mock=mock,
+            z=_get(p, "z", float, 0.0),
+            seed=_get(p, "seed", int, 1),
+            N_bin=_get(p, "N_bin", int, 200),
+            N_Gibbs=_get(p, "N_Gibbs", int, 10000),
+            outnum=_get(p, "outnum", int, 10),
+            outnum_ps=_get(p, "outnum_ps", int, 10),
+            dir=_get(p, "dir", str, "./"),
+            fnamePS=_get(p, "fnamePS", str, ""),
+            initial_guess=_get(p, "initial_guess", int, 0),
+            initial_guess_smoothing_scale=_get(p, "initial_guess_smoothing_scale", float, 20.0),
+            initial_guess_smoothing_type=_get(p, "initial_guess_smoothing_type", int, 1),
+            initial_guess_file=_get(p, "initial_guess_file", str, ""),
+            delta_min=_get(p, "delta_min", float, -0.999),
+        )

@@ -1,0 +1,121 @@
+"""Background cosmology and growth factors.
+
+Replaces /root/reference/barlib/src/cosmo.cc (GSL quadrature) with numpy
+host-side quadrature: these are config-time scalars computed once, so they
+stay out of the jitted hot path entirely.  Float64 throughout.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Cosmology:
+    """Cosmological parameters + derived growth quantities at scale factor a.
+
+    The reference hard-codes four WMAP parameter sets selected by a global
+    (init_par.cc:38,452-514); here they are presets of one dataclass.
+    """
+
+    omega_m: float
+    omega_q: float
+    h: float
+    ascale: float = 1.0
+    sigma8: float = 0.0
+    n_s: float = 0.0
+    omega_b: float = 0.0
+
+    @property
+    def omega_k(self) -> float:
+        return 1.0 - self.omega_m - self.omega_q
+
+    def with_redshift(self, z: float) -> "Cosmology":
+        return dataclasses.replace(self, ascale=1.0 / (1.0 + z))
+
+
+# Hard-coded parameter sets of the reference (init_par.cc:452-514).
+PRESETS = {
+    "wmap3": dict(omega_m=0.25, omega_q=0.75, h=0.73, sigma8=0.9, n_s=1.0, omega_b=0.0456),
+    "wmap7_mean": dict(omega_m=0.272, omega_q=0.728, h=0.704, sigma8=0.809, n_s=0.963, omega_b=0.0456),
+    "wmap7_max": dict(omega_m=0.272, omega_q=0.728, h=0.702, sigma8=0.807, n_s=0.961, omega_b=0.046),
+    "wmap9": dict(omega_m=0.28645, omega_q=0.71355, h=0.6932, sigma8=0.82, n_s=0.972, omega_b=0.04628),
+}
+
+
+def preset(name: str, z: float = 0.0) -> Cosmology:
+    return Cosmology(**PRESETS[name]).with_redshift(z)
+
+
+def e_hubble_a(c: Cosmology, a) -> float:
+    """H(a)/H0.  Parity: E_Hubble_a, cosmo.cc:25-31."""
+    return np.sqrt(c.omega_m / a**3 + c.omega_k / a**2 + c.omega_q)
+
+
+def d_growth(c: Cosmology, a: float | None = None) -> float:
+    """Linear growth factor with the reference's normalization:
+    D = (H/H0) * I(z) / I(0), I(z) = int_z^inf (1+z')/E(z')^3 dz'
+    (cosmo.cc:124-180), so D(z=0) = 1.
+    """
+    if a is None:
+        a = c.ascale
+    z = 1.0 / a - 1.0
+
+    def integral(z_lo: float) -> float:
+        # substitute z' = z_lo + t/(1-t), t in [0,1)
+        t = np.linspace(0.0, 1.0, 20001)[:-1]
+        zp = z_lo + t / (1.0 - t)
+        jac = 1.0 / (1.0 - t) ** 2
+        E = np.sqrt(c.omega_m * (1 + zp) ** 3 + c.omega_k * (1 + zp) ** 2 + c.omega_q)
+        f = (1.0 + zp) / E**3 * jac
+        return np.trapezoid(f, t)
+
+    E_a = e_hubble_a(c, a)
+    return float(E_a * integral(z) / integral(0.0))
+
+
+def d2_growth(c: Cosmology, a: float | None = None) -> float:
+    """Second-order growth D2 = -3/7 * D1^2 * Omega(a)^(-1/143).
+
+    Parity: init_par.cc:516-529.
+    """
+    if a is None:
+        a = c.ascale
+    E = e_hubble_a(c, a)
+    Omega = c.omega_m / (E * E * a**3)
+    D1 = d_growth(c, a)
+    return float(-3.0 / 7.0 * D1 * D1 * Omega ** (-1.0 / 143.0))
+
+
+def fgrow(c: Cosmology, a: float | None = None, term: int = 1) -> float:
+    """Growth rates f1 = Omega^(5/9), f2 = 2 Omega^(6/11), f3 = 3 Omega^(13/24).
+
+    Parity: fgrow, cosmo.cc:182-218 (Lahav+91 approximations).
+    """
+    if a is None:
+        a = c.ascale
+    E = e_hubble_a(c, a)
+    Omega = c.omega_m / ((E * E) * a**3)
+    if term == 1:
+        return float(Omega ** (5.0 / 9.0))
+    if term == 2:
+        return float(2.0 * Omega ** (6.0 / 11.0))
+    if term == 3:
+        return float(3.0 * Omega ** (13.0 / 24.0))
+    raise ValueError("term must be 1, 2 or 3")
+
+
+def c_pecvel(c: Cosmology, a: float | None = None, term: int = 1) -> float:
+    """Displacement -> peculiar velocity factor f * 100 * E(a) * a  [km/s per
+    Mpc/h of displacement].  Parity: c_pecvel, cosmo.cc:220-236."""
+    if a is None:
+        a = c.ascale
+    return float(fgrow(c, a, term) * 100.0 * e_hubble_a(c, a) * a)
+
+
+def hubble_a(c: Cosmology, a: float | None = None) -> float:
+    """H(a) in h km/s/Mpc units (H0 = 100)."""
+    if a is None:
+        a = c.ascale
+    return float(100.0 * e_hubble_a(c, a))

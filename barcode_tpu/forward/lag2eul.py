@@ -1,0 +1,65 @@
+"""The full forward model: Lagrangian density -> Eulerian density.
+
+Parity: Lag2Eul / Lag2Eul_rsd_zeldovich
+(/root/reference/barlib/src/Lag2Eul.cc:318-332, 338-426):
+  delta_lag -> LPT displacement Psi -> particles q + Psi (periodic wrap)
+  [-> RSD shift using v = c_pecvel * Psi, Zel'dovich velocities]
+  -> mass-assignment deposit -> overdensity.
+
+Entirely differentiable: jax.grad of any scalar of the output is the exact
+adjoint of this discrete pipeline (the reference hand-derives an approximate
+adjoint instead, HMC_models.cc:312-471).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu.forward import lpt, particles, assign
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardConfig:
+    """Static configuration of the forward model."""
+
+    sfmodel: int = 1          # 1 Zel'dovich, 2 2LPT, 3 ALPT
+    masskernel: object = 3    # 0 ngp / 1 cic / 2 tsc / 3 sph / 'sph_ft'
+    rsd: bool = False         # plane-parallel redshift-space mapping
+    periodic: bool = True
+    slength: float = 4.0      # ALPT long/short split scale [Mpc/h]
+    kernel_h_rel: float = 1.0  # SPH kernel scale in mean-cell units
+
+
+@dataclasses.dataclass(frozen=True)
+class GrowthParams:
+    """Scalar cosmology inputs of the forward model (config-time floats)."""
+
+    D1: float
+    D2: float
+    ascale: float
+    cpecvel: float  # displacement -> velocity factor (cosmo.c_pecvel)
+    hubble: float   # 100 E(a), h km/s/Mpc
+
+
+def kernel_h(fc: ForwardConfig, g: GridSpec) -> float:
+    """SPH kernel scale h = h_rel * mean cell size (init_par.cc:373-381)."""
+    return fc.kernel_h_rel * g.cell_avg
+
+
+def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
+            return_pos: bool = False):
+    """delta_lag -> (delta_eul [, pos]) with unit-mass regular-grid particles."""
+    psi = lpt.lpt_psi(delta_lag, g, fc.sfmodel, gp.D1, gp.D2, fc.slength)
+    pos = particles.displace(psi, g)
+    if fc.rsd:
+        # v = c_pecvel * Psi (Zel'dovich-only velocities, Lag2Eul.cc:375-381)
+        vel_z = gp.cpecvel * psi[2]
+        pos = particles.rsd_plane_parallel(pos, vel_z, g, gp.ascale, gp.hubble,
+                                           fc.periodic)
+    rho = assign.deposit(pos, g, fc.masskernel, kernel_h(fc, g))
+    delta_eul = assign.overdens(rho)
+    if return_pos:
+        return delta_eul, pos
+    return delta_eul

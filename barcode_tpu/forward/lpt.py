@@ -1,0 +1,133 @@
+"""Lagrangian perturbation theory displacement fields.
+
+TPU-native redesign of the reference's structure-formation solvers
+(/root/reference/barlib/src/Lag2Eul.cc, EqSolvers.cc).  All paths are pure
+spectral pipelines: one rfft of the input field plus a handful of irffts,
+which XLA fuses with the surrounding elementwise multipliers.
+
+Models (input.par `sfmodel`):
+  1 Zel'dovich:  div Psi = -D1 * delta1
+  2 2LPT:        div Psi = -D1 delta1 + D2 m2v, with second-order source
+                 m2v = sum_{i<j} (phi,ii phi,jj - phi,ij^2), lap phi = delta1
+                 (D2 is negative, init_par.cc:528)
+  3 ALPT:        long-range Gaussian-smoothed 2LPT + short-range spherical
+                 collapse: K_s o Psi_2LPT + (Psi_SC - K_s o Psi_SC), where
+                 div Psi_SC = 3(sqrt(1 + 2/3 psi_lin) - 1), psi_lin = -D1 d
+                 (Lag2Eul.cc:194-274)
+
+and Psi is the potential flow with that divergence:
+Psi_k = -i k (div Psi)_k / k^2.
+
+Sign conventions here are the standard (Bouchet et al. 1995) ones, matching
+the reference's Zel'dovich path.  N.B.: the reference's non-Zel'dovich path
+(Lag2Eul_non_zeldovich) feeds +D1 delta - D2 m2v — the *negated* standard
+divergence — into the same -i k/k^2 solver it uses for Zel'dovich, i.e. its
+2LPT/ALPT displacements come out with the opposite global sign to its own
+Zel'dovich displacements.  We keep the physically standard sign; the parity
+harness checks this against the compiled reference.  Note also that the
+reference dispatches sfmodel=2 and 3 to the same ALPT code (Lag2Eul.cc:
+318-332 branches only on ==1); here 2LPT is the textbook model and ALPT the
+blended one.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu.grid import fourier
+
+
+def _psi_from_div_C(div_C, g: GridSpec):
+    """Potential flow with the given (half-complex) divergence:
+    Psi_k = -i k (div)_k / k^2, DC and Nyquist zeroed (theta2vel multiplier,
+    EqSolvers.cc:168-277)."""
+    kx, ky, kz = fourier.kvec(g)
+    k2 = kx * kx + ky * ky + kz * kz
+    guard = k2 > 1e-14
+    inv_k2 = jnp.where(guard, 1.0 / jnp.where(guard, k2, 1.0), 0.0)
+    base = (-1j) * div_C * inv_k2 * fourier.nyquist_mask(g)
+    return jnp.stack([
+        fourier.irfft3(kx * base, g),
+        fourier.irfft3(ky * base, g),
+        fourier.irfft3(kz * base, g),
+    ])
+
+
+def zeldovich_psi(delta1, g: GridSpec, D1: float):
+    """Psi with div Psi = -D1 delta1.
+
+    Parity: Lag2Eul_zeldovich + theta2vel
+    (/root/reference/barlib/src/Lag2Eul.cc:69-132, EqSolvers.cc:168-277).
+    Returns (3, N1, N2, N3).
+    """
+    return _psi_from_div_C(fourier.rfft3(-D1 * delta1), g)
+
+
+def _second_order_source(delta_C, g: GridSpec):
+    """m2v = sum_{i<j} (phi,ii phi,jj - phi,ij^2) with lap phi = delta.
+
+    Spectral second derivatives: phi,ij = IFFT[ (k_i k_j / k^2) delta_k ]
+    (phi_k = -delta_k/k^2; d_i d_j multiplies by -k_i k_j).
+    Parity: calc_m2v_mem + calc_LapPhiv (EqSolvers.cc:29-64, 373-422), GFFT
+    derivative scheme.  m2v is quadratic in phi, so it is independent of the
+    sign convention of phi.
+    """
+    kx, ky, kz = fourier.kvec(g)
+    k2 = kx * kx + ky * ky + kz * kz
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    base = delta_C * inv_k2
+
+    def dd(ka, kb):
+        return fourier.irfft3(ka * kb * base, g)
+
+    pxx = dd(kx, kx)
+    pyy = dd(ky, ky)
+    pzz = dd(kz, kz)
+    pxy = dd(kx, ky)
+    pxz = dd(kx, kz)
+    pyz = dd(ky, kz)
+    return pxx * pyy - pxy * pxy + pxx * pzz - pxz * pxz + pyy * pzz - pyz * pyz
+
+
+def two_lpt_div_psi(delta1, g: GridSpec, D1: float, D2: float):
+    """div Psi_2LPT = -D1 delta1 + D2 m2v (D2 < 0)."""
+    m2v = _second_order_source(fourier.rfft3(delta1), g)
+    return -D1 * delta1 + D2 * m2v
+
+
+def two_lpt_psi(delta1, g: GridSpec, D1: float, D2: float):
+    return _psi_from_div_C(fourier.rfft3(two_lpt_div_psi(delta1, g, D1, D2)), g)
+
+
+def spherical_collapse_div_psi(delta1, g: GridSpec, D1: float):
+    """div Psi_SC = 3(sqrt(1 + 2/3 psi_lin) - 1) clipped at -3,
+    psi_lin = -D1 delta1 (Lag2Eul.cc:226-247)."""
+    psilin = -D1 * delta1
+    arg = 1.0 + (2.0 / 3.0) * psilin
+    return jnp.where(arg > 0.0, 3.0 * (jnp.sqrt(jnp.maximum(arg, 0.0)) - 1.0), -3.0)
+
+
+def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float):
+    """ALPT: Gaussian long/short-range split at scale `slength`:
+    div = K o div_2LPT + (1 - K) o div_SC, then one displacement solve.
+
+    The reference smoothes each Psi *component* separately
+    (Lag2Eul.cc:249-312); smoothing commutes with the spectral grad-inv-lap,
+    so blending the divergences first is equivalent and saves 12 FFTs.
+    """
+    div_2lpt = two_lpt_div_psi(delta1, g, D1, D2)
+    div_sc = spherical_collapse_div_psi(delta1, g, D1)
+    K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
+    div_C = K * fourier.rfft3(div_2lpt) + (1.0 - K) * fourier.rfft3(div_sc)
+    return _psi_from_div_C(div_C, g)
+
+
+def lpt_psi(delta1, g: GridSpec, sfmodel: int, D1: float, D2: float, slength: float):
+    """Dispatch like Lag2Eul (Lag2Eul.cc:318-332). sfmodel is static."""
+    if sfmodel == 1:
+        return zeldovich_psi(delta1, g, D1)
+    if sfmodel == 2:
+        return two_lpt_psi(delta1, g, D1, D2)
+    if sfmodel == 3:
+        return alpt_psi(delta1, g, D1, D2, slength)
+    raise ValueError(f"unknown sfmodel {sfmodel}")

@@ -1,0 +1,194 @@
+"""Forward-model tests: deposits, adjointness, LPT, RSD, Lag2Eul."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu.grid import fourier
+from barcode_tpu import random_fields as rf
+from barcode_tpu.forward import assign, lpt, particles
+from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+
+G = GridSpec.cube(12, 120.0)
+GP = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.0, hubble=100.0)
+
+
+def random_positions(key, g):
+    u = jax.random.uniform(key, (3,) + g.shape)
+    L = jnp.asarray([g.L1, g.L2, g.L3]).reshape(3, 1, 1, 1)
+    return u * L
+
+
+@pytest.mark.parametrize("mk", ["ngp", "cic", "tsc", "sph"])
+def test_deposit_mass_conservation(mk):
+    """Total deposited mass equals particle count (W4 integral: the SPH
+    spline sampled on the grid sums to ~V_cell^-1 * norm; CIC/TSC/NGP exact)."""
+    pos = random_positions(jax.random.key(0), G)
+    h = G.cell_avg
+    rho = assign.deposit(pos, G, mk, h)
+    total = float(rho.sum())
+    if mk == "sph":
+        # SPH deposit returns rho = sum_p W (units 1/volume): the grid sum
+        # approximates N_particles / cell_volume (integral of W is 1)
+        d1, d2, d3 = G.cell
+        np.testing.assert_allclose(total, G.N / (d1 * d2 * d3), rtol=0.02)
+    else:
+        np.testing.assert_allclose(total, G.N, rtol=1e-4)
+
+
+def test_cic_deposit_known_position():
+    """A particle exactly at a cell center deposits all mass there."""
+    pos = particles.lagrangian_positions(G)
+    rho = assign.cic_deposit(pos, G)
+    np.testing.assert_allclose(np.asarray(rho), 1.0, atol=1e-5)
+    rho = assign.tsc_deposit(pos, G)
+    # TSC at cell center: w = (0.75, 0.25/2...) -> still sums to 1, peak 0.75^3
+    np.testing.assert_allclose(float(rho.sum()), G.N, rtol=1e-5)
+    np.testing.assert_allclose(float(rho[0, 0, 0]), 1.0, atol=1e-5)  # symmetric
+
+
+def test_cic_scatter_gather_adjoint():
+    """<gather(f), w> == <f, scatter(w)> — the CIC gather is the exact
+    transpose of the CIC deposit (SURVEY.md §4: 'CIC adjoint identity')."""
+    key = jax.random.key(1)
+    pos = random_positions(key, G)
+    f = jax.random.normal(jax.random.key(2), G.shape)
+    w = jax.random.normal(jax.random.key(3), G.shape)
+    lhs = float(jnp.sum(assign.cic_gather(f, pos, G) * w))
+    rhs = float(jnp.sum(f * assign.cic_deposit(pos, G, weights=w)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_tsc_scatter_gather_adjoint():
+    pos = random_positions(jax.random.key(4), G)
+    f = jax.random.normal(jax.random.key(5), G.shape)
+    w = jax.random.normal(jax.random.key(6), G.shape)
+    lhs = float(jnp.sum(assign.tsc_gather(f, pos, G) * w))
+    rhs = float(jnp.sum(f * assign.tsc_deposit(pos, G, weights=w)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_w4_fourier_matches_numerical_transform():
+    """Closed-form W4 transform vs the FFT of the grid-sampled kernel."""
+    g = GridSpec.cube(64, 64.0)  # d=1
+    h = 2.0
+    # center kernel at origin (cell 0 corner): sample W(|x|) with periodic min-image
+    idx = np.arange(64)
+    x = np.minimum(idx, 64 - idx).astype(np.float64)  # distance in cells
+    rx, ry, rz = np.meshgrid(x, x, x, indexing="ij")
+    r = np.sqrt(rx**2 + ry**2 + rz**2)
+    Wr = np.asarray(assign.w4(jnp.asarray(r / h))) / (math.pi * h**3)
+    What_num = np.fft.rfftn(Wr).real  # kernel is even -> real transform
+    What_closed = np.asarray(assign.w4_fourier(g, h))
+    # compare where the kernel is well-resolved (low k)
+    k = np.sqrt(np.asarray(fourier.k_squared(g)))
+    sel = (k > 0) & (k * h < 2.0)
+    np.testing.assert_allclose(What_num[sel], What_closed[sel], atol=2e-3)
+    np.testing.assert_allclose(What_num[0, 0, 0], 1.0, atol=2e-3)
+
+
+@pytest.mark.parametrize("mk", ["cic", "tsc", "sph", "sph_ft"])
+def test_deposit_directional_response(mk):
+    """Moving one particle +0.3 cells in x must raise the density in the +x
+    neighbor and lower it in the -x neighbor (regression for weight-sign
+    bugs; the reference itself has one in interpolate_TSC)."""
+    pos = particles.lagrangian_positions(G)
+    d1 = G.cell[0]
+    pos0 = pos
+    pos1 = pos.at[0, 0, 0, 0].add(0.3 * d1)
+    h = G.cell_avg
+    rho0 = np.asarray(assign.deposit(pos0, G, mk, h))
+    rho1 = np.asarray(assign.deposit(pos1, G, mk, h))
+    diff = rho1 - rho0
+    assert diff[1, 0, 0] > 0, diff[1, 0, 0]
+    assert diff[0, 0, 0] < 0, diff[0, 0, 0]
+    if mk != "cic":  # CIC's 2-point stencil never reaches the -x neighbor
+        assert diff[-1, 0, 0] < 0, diff[-1, 0, 0]
+
+
+def test_zeldovich_single_mode_displacement():
+    """delta = A cos(kx) => psi_x = -D1 * (A/k) sin(kx) (flow with
+    div = -D1 delta)."""
+    m, A, D1 = 2, 0.01, 0.8
+    i = np.arange(G.N1)
+    delta = A * np.cos(2 * np.pi * m * i / G.N1)
+    delta3 = jnp.asarray(np.broadcast_to(delta[:, None, None], G.shape))
+    psi = lpt.zeldovich_psi(delta3, G, D1)
+    k = 2 * np.pi * m / G.L1
+    expected = -D1 * (A / k) * np.sin(2 * np.pi * m * i / G.N1)
+    np.testing.assert_allclose(np.asarray(psi[0, :, 0, 0]), expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(psi[1]), 0.0, atol=1e-6)
+
+
+def test_2lpt_reduces_to_zeldovich():
+    delta = 0.02 * rf.grf(jax.random.key(0), G, jnp.ones(G.rshape).at[0, 0, 0].set(0.0))
+    za = lpt.zeldovich_psi(delta, G, 1.0)
+    two = lpt.two_lpt_psi(delta, G, 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(two), np.asarray(za), atol=1e-6)
+
+
+def test_alpt_limits():
+    """slength -> 0: K -> 1 everywhere except high k... use large slength:
+    K -> only DC, so ALPT -> spherical collapse part."""
+    P = jnp.ones(G.rshape).at[0, 0, 0].set(0.0)
+    delta = 0.05 * rf.grf(jax.random.key(1), G, P)
+    alpt_long = lpt.alpt_psi(delta, G, 1.0, -3.0 / 7.0, 1e4)
+    div_sc = lpt.spherical_collapse_div_psi(delta, G, 1.0)
+    psi_sc = lpt._psi_from_div_C(fourier.rfft3(div_sc), G)
+    np.testing.assert_allclose(np.asarray(alpt_long), np.asarray(psi_sc), atol=1e-4)
+    # tiny slength: ALPT -> 2LPT
+    alpt_short = lpt.alpt_psi(delta, G, 1.0, -3.0 / 7.0, 1e-4)
+    two = lpt.two_lpt_psi(delta, G, 1.0, -3.0 / 7.0)
+    np.testing.assert_allclose(np.asarray(alpt_short), np.asarray(two), atol=1e-4)
+
+
+def test_spherical_collapse_linear_limit():
+    """For small delta, div Psi_SC ~ psi_lin = -D1 delta."""
+    delta = jnp.asarray(np.random.default_rng(0).normal(size=G.shape) * 1e-3, jnp.float32)
+    div = lpt.spherical_collapse_div_psi(delta, G, 1.0)
+    np.testing.assert_allclose(np.asarray(div), np.asarray(-delta), atol=1e-5)
+
+
+def test_lag2eul_zero_input():
+    """Zero Lagrangian field -> particles stay at cell centers -> delta_eul=0."""
+    for mk in ["ngp", "cic", "tsc", "sph", "sph_ft"]:
+        fc = ForwardConfig(sfmodel=1, masskernel=mk)
+        de = lag2eul(jnp.zeros(G.shape), G, fc, GP)
+        np.testing.assert_allclose(np.asarray(de), 0.0, atol=1e-4)
+
+
+def test_lag2eul_mean_zero():
+    P = jnp.ones(G.rshape).at[0, 0, 0].set(0.0)
+    delta = 0.5 * rf.grf(jax.random.key(2), G, P)
+    for sf in (1, 2, 3):
+        fc = ForwardConfig(sfmodel=sf, masskernel="cic")
+        de = lag2eul(delta, G, fc, GP)
+        assert abs(float(de.mean())) < 1e-5
+
+
+def test_rsd_plane_parallel_shift():
+    g = G
+    pos = particles.lagrangian_positions(g)
+    vz = jnp.full(g.shape, 100.0)  # km/s
+    newpos = particles.rsd_plane_parallel(pos, vz, g, ascale=1.0, hubble=100.0)
+    np.testing.assert_allclose(
+        np.asarray(newpos[2]), np.asarray((pos[2] + 1.0) % g.L3), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(newpos[:2]), np.asarray(pos[:2]))
+
+
+def test_sph_ft_close_to_sph():
+    """The Fourier/TSC SPH deposit approximates the exact SPH deposit
+    (the reference accepts the same approximation for its fast gradient,
+    input.par:10 'less accurate, much faster')."""
+    P = jnp.ones(G.rshape).at[0, 0, 0].set(0.0)
+    delta = 0.2 * rf.grf(jax.random.key(3), G, P)
+    fc_a = ForwardConfig(sfmodel=1, masskernel="sph")
+    fc_b = ForwardConfig(sfmodel=1, masskernel="sph_ft")
+    da = lag2eul(delta, G, fc_a, GP)
+    db = lag2eul(delta, G, fc_b, GP)
+    corr = np.corrcoef(np.asarray(da).ravel(), np.asarray(db).ravel())[0, 1]
+    assert corr > 0.9, corr

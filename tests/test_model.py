@@ -1,0 +1,116 @@
+"""Statistical model tests: likelihood values vs closed-form numpy, autodiff
+gradient vs finite differences (SURVEY.md §4: 'verify grad log pi against
+JAX autodiff of log pi')."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu import random_fields as rf
+from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams
+from barcode_tpu.model import likelihoods, posterior
+from barcode_tpu.model.likelihoods import ObsData
+
+G = GridSpec.cube(8, 80.0)
+GP = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.0, hubble=100.0)
+
+
+def make_obs(key, likelihood=1):
+    P = jnp.full(G.rshape, 30.0).at[0, 0, 0].set(0.0)
+    kd, kn = jax.random.split(key)
+    delta = jnp.abs(rf.grf(kd, G, P)) * 0.1
+    if likelihood == 0:
+        nobs = jax.random.poisson(kn, 1.0 + delta).astype(jnp.float32)
+    else:
+        nobs = 1.0 + delta + 0.1 * jax.random.normal(kn, G.shape)
+    return ObsData(
+        nobs=nobs,
+        window=jnp.ones(G.shape),
+        noise=jnp.ones(G.shape),
+        power=P,
+    )
+
+
+def test_gaussian_psi_value():
+    obs = make_obs(jax.random.key(0))
+    dx = 0.1 * jax.random.normal(jax.random.key(1), G.shape)
+    got = float(likelihoods.gaussian_psi(dx, obs))
+    lam = np.asarray(obs.window) * 1.0 * (1.0 + np.asarray(dx))
+    valid = lam > 0
+    expected = 0.5 * np.sum(((lam - np.asarray(obs.nobs))[valid]) ** 2)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_poisson_psi_value():
+    obs = make_obs(jax.random.key(2), likelihood=0)
+    dx = 0.1 * jax.random.normal(jax.random.key(3), G.shape)
+    got = float(likelihoods.poisson_psi(dx, obs))
+    lam = (1.0 + np.asarray(dx))
+    valid = lam > 0
+    expected = np.sum(lam[valid] - np.asarray(obs.nobs)[valid] * np.log(lam[valid]))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_lognormal_psi_value():
+    obs = make_obs(jax.random.key(4))
+    dx = 0.1 * jax.random.normal(jax.random.key(5), G.shape)
+    got = float(likelihoods.lognormal_psi(dx, obs))
+    dclip = np.maximum(np.asarray(dx), -0.999)
+    lam = np.log(1.0 + dclip)
+    expected = 0.5 * np.sum((lam - np.asarray(obs.nobs)) ** 2)
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_partial_f_delta_x_matches_autodiff():
+    """The reimplemented analytic partials equal jax.grad of psi(delta_x)."""
+    obs = make_obs(jax.random.key(6))
+    dx = 0.05 * jax.random.normal(jax.random.key(7), G.shape)
+    for lk in (0, 1, 2):
+        obs_l = make_obs(jax.random.key(6), likelihood=lk)
+        auto = jax.grad(lambda d: likelihoods.likelihood_psi(lk, d, obs_l))(dx)
+        analytic = likelihoods.partial_f_delta_x(lk, dx, obs_l)
+        np.testing.assert_allclose(
+            np.asarray(auto), np.asarray(analytic), atol=1e-4,
+            err_msg=f"likelihood {lk}",
+        )
+
+
+@pytest.mark.parametrize("likelihood", [0, 1, 2, 3])
+@pytest.mark.parametrize("sfmodel", [1, 3])
+def test_posterior_grad_vs_finite_diff(likelihood, sfmodel):
+    """jax.grad of the full psi (prior + likelihood o Lag2Eul) vs central
+    finite differences along random directions."""
+    obs = make_obs(jax.random.key(8), likelihood=likelihood)
+    if likelihood == 2:
+        obs = ObsData(nobs=jnp.log(jnp.maximum(obs.nobs, 0.1)), window=obs.window,
+                      noise=obs.noise, power=obs.power)
+    # TSC is C^1 in positions; CIC's weight kinks sit exactly at cell centers,
+    # where zero-displacement particles live, making FD ill-posed there.
+    fc = ForwardConfig(sfmodel=sfmodel, masskernel="tsc")
+    mc = posterior.ModelConfig(likelihood=likelihood, forward=fc)
+    psi_fn = posterior.make_psi(G, mc, GP, obs)
+    vag = jax.jit(jax.value_and_grad(lambda d: psi_fn(d)[0]))
+    # amplitude chosen so displacements are a sizable fraction of a cell
+    s = 0.6 * rf.grf(jax.random.key(9), G, obs.power)
+    _, grad = vag(s)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        v = jnp.asarray(rng.normal(size=G.shape), jnp.float32)
+        v = v / jnp.linalg.norm(v)
+        eps = 1e-2  # small enough for linearity, large enough to beat f32 noise
+        fp = float(psi_fn(s + eps * v)[0])
+        fm = float(psi_fn(s - eps * v)[0])
+        fd = (fp - fm) / (2 * eps)
+        ad = float(jnp.sum(grad * v))
+        np.testing.assert_allclose(ad, fd, rtol=8e-2, atol=1e-2)
+
+
+def test_grf_likelihood_bypasses_forward():
+    obs = make_obs(jax.random.key(10))
+    mc = posterior.ModelConfig(likelihood=3)
+    psi_fn = posterior.make_psi(G, mc, GP, obs)
+    s = 0.1 * jax.random.normal(jax.random.key(11), G.shape)
+    total, (pp, pl) = psi_fn(s)
+    expected_like = float(likelihoods.grf_psi(s, obs))
+    np.testing.assert_allclose(float(pl), expected_like, rtol=1e-5)
