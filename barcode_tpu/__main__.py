@@ -1,0 +1,3 @@
+from barcode_tpu.cli import main
+import sys
+sys.exit(main())

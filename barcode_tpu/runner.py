@@ -1,0 +1,264 @@
+"""Session runner: the TPU-native replacement for barcoderunner + main.
+
+Responsibilities (parity: /root/reference/barlib/src/barcoderunner.cc and
+barcode/main.cc):
+  * assemble the model from a RunConfig (P(k) table -> grid, growth factors),
+  * mock-data generation (random_test) or observed-data loading
+    (win/nobs/sigma files),
+  * initial guess (zero / file / GRF / smoothed GRF / zero+noise),
+  * the sampling loop with per-attempt performance log, periodic sample +
+    spectrum dumps, and a `fastexit` sentinel,
+  * single-file checkpoint/resume of the FULL sampler state (replaces the
+    reference's performance-log replay, SURVEY.md §5.4 — RNG keys and the
+    adaptive-eps tables are restored exactly, which the reference cannot do).
+
+Differences by design:
+  * many chains, vmapped; chain 0's outputs use the reference's file names
+    (deltaLAG_<i> etc.), all chains go into the checkpoint;
+  * a "Gibbs iteration" (one accepted sample) is tracked per chain; attempts
+    run in fixed-size jitted batches instead of a retry loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from barcode_tpu import io as bio
+from barcode_tpu import mock as mock_mod
+from barcode_tpu.config import RunConfig
+from barcode_tpu.grid import fourier
+from barcode_tpu import random_fields
+from barcode_tpu.forward.lag2eul import lag2eul
+from barcode_tpu.model.likelihoods import ObsData
+from barcode_tpu.model import posterior
+from barcode_tpu.hmc import mass as mass_mod, sampler
+from barcode_tpu.hmc.state import ChainState
+
+PERFLOG_COLUMNS = [
+    "accepted", "epsilon", "Neps", "dH", "dK", "dE",
+    "psi_prior_i", "psi_prior_f", "psi_likeli_i", "psi_likeli_f",
+    "H_kin_i", "H_kin_f",
+]
+
+
+class Runner:
+    def __init__(self, conf: RunConfig, out_dir: str | None = None):
+        self.conf = conf
+        self.g = conf.grid
+        self.gp = conf.growth()
+        self.dir = Path(out_dir if out_dir is not None else conf.dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.key = jax.random.key(conf.seed)
+        self.obs: ObsData | None = None
+        self.truth = None
+        self.states: ChainState | None = None
+        self.mass = None
+        self.attempt_batch = 16
+        self._run = None
+        self._perflog = None
+
+    # -- setup ------------------------------------------------------------
+
+    def load_power(self):
+        if self.conf.fnamePS:
+            k_t, p_t = bio.read_powspec_table(self.conf.fnamePS)
+            return fourier.power_table_to_rfft_grid(k_t, p_t, self.g)
+        # fallback: a simple CDM-like shape so self-contained runs work
+        kk = jnp.sqrt(fourier.k_squared(self.g))
+        keq = 0.02
+        P = 1e4 * (kk / keq) / (1.0 + (kk / keq) ** 2) ** 1.5
+        return P.at[0, 0, 0].set(0.0)
+
+    def setup(self, n_chains: int | None = None):
+        conf = self.conf
+        power = self.load_power()
+        self.key, k_mock, k_guess, k_chains = jax.random.split(self.key, 4)
+
+        if conf.mock.random_test:
+            md = mock_mod.generate(
+                k_mock, self.g, conf.mock, conf.model.forward, self.gp, power,
+                conf.model.likelihood, delta_min=conf.delta_min)
+            self.obs, self.truth = md.obs, md.truth_lag
+            self._dump_mock(md)
+        else:
+            shape = self.g.shape
+            win = jnp.asarray(bio.read_array(self.dir / "win", shape))
+            nobs = jnp.asarray(bio.read_array(self.dir / "nobs", shape))
+            sigma = jnp.asarray(bio.read_array(self.dir / "sigma", shape))
+            self.obs = ObsData(nobs=nobs, window=win, noise=sigma, power=power,
+                               delta_min=conf.delta_min)
+
+        n_chains = n_chains or conf.n_chains
+        guess = self._initial_guess(k_guess)
+        init = sampler.make_init(self.g, conf.model, self.gp, conf.hmc)
+        keys = jax.random.split(k_chains, n_chains)
+        self.states = jax.vmap(lambda k: init(k, guess, self.obs))(keys)
+        self.mass = self._compute_mass()
+        self._run = sampler.make_sampler(self.g, conf.model, self.gp, conf.hmc,
+                                         n_attempts_per_call=self.attempt_batch)
+        return self
+
+    def _initial_guess(self, key):
+        """make_initial_guess (barcoderunner.cc:207-247)."""
+        conf = self.conf
+        ig = conf.initial_guess
+        if ig == 0:
+            return jnp.zeros(self.g.shape)
+        if ig == 1:
+            return jnp.asarray(bio.read_array(self.dir / conf.initial_guess_file,
+                                              self.g.shape))
+        if ig in (2, 3):
+            s = random_fields.grf(key, self.g, self.obs.power)
+            if ig == 3:
+                s = fourier.smooth(s, self.g, conf.initial_guess_smoothing_scale,
+                                   conf.initial_guess_smoothing_type)
+            return s
+        if ig == 4:
+            return 0.1 * jax.random.normal(key, self.g.shape)
+        raise ValueError(f"invalid initial_guess {ig}")
+
+    def _compute_mass(self):
+        hc = self.conf.hmc
+        force = None
+        if hc.mass_type in (2, 3):
+            force = self._likelihood_force(self.current_signal())
+        return mass_mod.compute_mass(self.g, hc.mass_type, self.obs.power,
+                                     nbin=self.conf.N_bin, likeli_force=force,
+                                     mass_factor=hc.mass_factor)
+
+    def _likelihood_force(self, signal):
+        mc = self.conf.model
+
+        def psi_like_only(s):
+            if mc.likelihood == 3:
+                from barcode_tpu.model import likelihoods
+                return likelihoods.grf_psi(s, self.obs)
+            dx = lag2eul(mc.deltaQ_factor * s, self.g, mc.forward, self.gp)
+            from barcode_tpu.model import likelihoods
+            return likelihoods.likelihood_psi(mc.likelihood, dx, self.obs)
+
+        return jax.grad(psi_like_only)(signal)
+
+    def current_signal(self, chain: int = 0):
+        return self.states.delta[chain]
+
+    # -- outputs ----------------------------------------------------------
+
+    def _dump_mock(self, md: mock_mod.MockData):
+        g, nb = self.g, self.conf.N_bin
+        bio.write_array(self.dir / "deltaLAGtest", np.asarray(md.truth_lag))
+        bio.write_array(self.dir / "deltaEULtest", np.asarray(md.truth_eul))
+        bio.write_array(self.dir / "win", np.asarray(md.obs.window))
+        bio.write_array(self.dir / "nobs", np.asarray(md.obs.nobs))
+        bio.write_array(self.dir / "sigma", np.asarray(md.obs.noise))
+        for name, field in [("specLAGtest", md.truth_lag), ("specEULtest", md.truth_eul),
+                            ("spec_nobs", md.obs.nobs)]:
+            km, pw, _ = fourier.measure_spectrum(field, g, nb)
+            bio.dump_spectrum(self.dir / f"{name}.dat", km, pw)
+
+    def dump_sample(self, iteration: int, chain: int = 0):
+        """dump_deltas + dump_ps_it (IOfunctionsGen.cc:136-171,
+        IOfunctions.cc:37)."""
+        s = self.current_signal(chain)
+        mc = self.conf.model
+        bio.write_array(self.dir / f"deltaLAG_{iteration}", np.asarray(s))
+        d_eul = lag2eul(s, self.g, dataclasses.replace(mc.forward, rsd=False),
+                        self.gp)
+        bio.write_array(self.dir / f"deltaEUL_{iteration}", np.asarray(d_eul))
+        if mc.forward.rsd:
+            d_rss = lag2eul(s, self.g, mc.forward, self.gp)
+            bio.write_array(self.dir / f"deltaRSS_{iteration}", np.asarray(d_rss))
+        km, pw, _ = fourier.measure_spectrum(s, self.g, self.conf.N_bin)
+        bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+
+    def _log_attempts(self, stats):
+        """Append chain-0 rows to performance_log.txt (HMC.cc:40-60 format)."""
+        if self._perflog is None:
+            path = self.dir / "performance_log.txt"
+            new = not path.exists()
+            self._perflog = open(path, "a")
+            if new:
+                self._perflog.write("# " + "\t".join(PERFLOG_COLUMNS) + "\n")
+        rows = np.column_stack([np.asarray(getattr(stats, c))[:, 0] for c in PERFLOG_COLUMNS])
+        for r in rows:
+            self._perflog.write("\t".join(f"{v:.6g}" for v in r) + "\n")
+        self._perflog.flush()
+
+    # -- sampling loop ----------------------------------------------------
+
+    def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
+            log: bool = True, progress_every: int = 10):
+        """Sample until every chain has >= n_samples accepted samples (the
+        reference's N_Gibbs), dumping chain-0 fields every `outnum` samples."""
+        conf = self.conf
+        n_samples = n_samples if n_samples is not None else conf.N_Gibbs
+        next_dump = max(1, conf.outnum)
+        attempts_done = 0
+        t0 = time.time()
+        while attempts_done < max_attempts:
+            if (self.dir / "fastexit").exists():
+                print("fastexit sentinel found — stopping cleanly")
+                break
+            self.states, stats = self._run(self.states, self.obs, self.mass)
+            attempts_done += self.attempt_batch
+            if log:
+                self._log_attempts(stats)
+            acc0 = int(self.states.accepted[0])
+            while acc0 >= next_dump and next_dump <= n_samples:
+                self.dump_sample(next_dump)
+                next_dump += max(1, conf.outnum)
+            min_acc = int(self.states.accepted.min())
+            if log and attempts_done % (self.attempt_batch * progress_every) == 0:
+                rate = float(np.asarray(stats.acc_rate_recent)[-1].mean())
+                print(f"attempts={attempts_done} accepted(min)={min_acc} "
+                      f"acc_rate={rate:.2f} eps_fac={float(self.states.eps_fac.mean()):.4g} "
+                      f"[{time.time()-t0:.1f}s]")
+            if min_acc >= n_samples:
+                break
+            if conf.hmc.total_steps_lim and attempts_done >= conf.hmc.total_steps_lim:
+                raise RuntimeError("ABORTING: total steps exceeds total_steps_lim "
+                                   "(HMC.cc:533-535)")
+        return self.states
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    @staticmethod
+    def _is_key(leaf) -> bool:
+        return jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+    def checkpoint(self, path=None):
+        path = Path(path or (self.dir / "checkpoint.npz"))
+        leaves, _ = jax.tree_util.tree_flatten(self.states)
+        arrs, key_ix = {}, []
+        for i, leaf in enumerate(leaves):
+            if self._is_key(leaf):
+                arrs[f"leaf_{i}"] = np.asarray(jax.random.key_data(leaf))
+                key_ix.append(i)
+            else:
+                arrs[f"leaf_{i}"] = np.asarray(leaf)
+        np.savez(path, **arrs)
+        meta = {"n_leaves": len(leaves), "key_leaves": key_ix,
+                "conf_seed": self.conf.seed, "grid": [self.g.N1, self.g.L1]}
+        path.with_suffix(".json").write_text(json.dumps(meta))
+        return path
+
+    def restore(self, path=None):
+        path = Path(path or (self.dir / "checkpoint.npz"))
+        data = np.load(path)
+        meta = json.loads(path.with_suffix(".json").read_text())
+        key_ix = set(meta["key_leaves"])
+        leaves, treedef = jax.tree_util.tree_flatten(self.states)
+        new_leaves = [
+            jax.random.wrap_key_data(jnp.asarray(data[f"leaf_{i}"]))
+            if i in key_ix else jnp.asarray(data[f"leaf_{i}"])
+            for i in range(len(leaves))
+        ]
+        self.states = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return self

@@ -1,0 +1,148 @@
+"""Benchmark: leapfrog steps/s per chip on the headline configuration.
+
+Config 3 of BASELINE.json: 128^3 grid, ALPT forward model with plane-parallel
+RSD, Gaussian likelihood, inverse-P(k) Fourier-space mass.  One leapfrog
+step = one posterior gradient (prior convolution + ALPT forward + adjoint)
+plus one FS mass-inverse application — the reference's inner-inner hot path
+(SURVEY.md §3.3, ~6-12 N^3 FFTs per step).
+
+Baseline denominator: the reference C++ cannot be built in this image (no
+FFTW/GSL; see BASELINE.md), so `vs_baseline` divides by the same algorithm
+executed single-threaded on the host CPU (XLA CPU, 1 thread) — the
+reference's own execution model (single-core C++/FFTW) on this machine.
+The CPU number is cached in bench_cpu_baseline.json to keep bench runs fast.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+N_GRID = int(os.environ.get("BENCH_N", 128))
+BOX = 200.0
+N_EPS = 8          # fixed leapfrog steps per attempt for exact step counting
+N_ATTEMPTS = 8     # timed attempts per measurement
+CPU_BASELINE_FILE = Path(__file__).parent / "bench_cpu_baseline.json"
+
+
+def build_step(n_grid: int):
+    import jax
+    import jax.numpy as jnp
+    from barcode_tpu.config import HMCConfig
+    from barcode_tpu.grid.spec import GridSpec
+    from barcode_tpu.grid import fourier
+    from barcode_tpu import random_fields
+    from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+    from barcode_tpu.model.likelihoods import ObsData
+    from barcode_tpu.model.posterior import ModelConfig
+    from barcode_tpu.hmc import mass as mass_mod, sampler
+
+    g = GridSpec.cube(n_grid, BOX)
+    gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85, hubble=100.0)
+    fc = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0)
+    mc = ModelConfig(likelihood=1, forward=fc)
+    hc = HMCConfig(eps_fac=1e-4, eps_fac_update_type=0, mass_type=1,
+                   N_eps_fac=N_EPS, N_a_eps_update=32)
+
+    # the axon TPU backend supports no eager ops — build everything under jit
+    @jax.jit
+    def setup():
+        kk = jnp.sqrt(fourier.k_squared(g))
+        keq = 0.02
+        P = (1e4 * (kk / keq) / (1.0 + (kk / keq) ** 2) ** 1.5).at[0, 0, 0].set(0.0)
+        truth = random_fields.grf(jax.random.key(0), g, P)
+        d_eul = lag2eul(truth, g, fc, gp)
+        nobs = jnp.maximum(1.0 + d_eul + jax.random.normal(jax.random.key(1), g.shape), 0.0)
+        obs = ObsData(nobs=nobs, window=jnp.ones(g.shape), noise=jnp.ones(g.shape), power=P)
+        mass = mass_mod.compute_mass(g, hc.mass_type, P)
+        init = sampler.make_init(g, mc, gp, hc)
+        state = init(jax.random.key(2), truth * 0.5, obs)
+        return state, obs, mass
+
+    state, obs, mass = setup()
+    attempt = sampler.make_attempt(g, mc, gp, hc)
+
+    @jax.jit
+    def step(state, obs, mass):
+        return attempt(state, obs, mass)
+
+    return step, state, obs, mass
+
+
+def measure_steps_per_s(n_grid: int, n_attempts: int = N_ATTEMPTS):
+    import jax
+
+    step, state, obs, mass = build_step(n_grid)
+    # warm-up / compile (sync via a real device->host transfer: the axon
+    # relay's block_until_ready has been observed returning early)
+    state, stats = step(state, obs, mass)
+    float(state.psi)
+    t0 = time.perf_counter()
+    for _ in range(n_attempts):
+        state, stats = step(state, obs, mass)
+    float(state.psi)
+    dt = time.perf_counter() - t0
+    # Every attempt executes N_EPS masked leapfrog iterations regardless of
+    # the drawn Neps, so the honest hardware step count is N_EPS per attempt.
+    hw_steps = n_attempts * N_EPS
+    return hw_steps / dt, dt
+
+
+def cpu_baseline(n_grid: int) -> float:
+    """Same algorithm, single CPU thread (cached)."""
+    if CPU_BASELINE_FILE.exists():
+        try:
+            data = json.loads(CPU_BASELINE_FILE.read_text())
+            if data.get("n_grid") == n_grid:
+                return float(data["steps_per_s"])
+        except Exception:
+            pass
+    code = f"""
+import os, json, time
+os.environ["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+os.environ["OMP_NUM_THREADS"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {str(Path(__file__).parent)!r})
+import bench
+sps, dt = bench.measure_steps_per_s({n_grid}, n_attempts=2)
+print(json.dumps({{"steps_per_s": sps}}))
+"""
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=3000)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        sps = float(json.loads(line)["steps_per_s"])
+        CPU_BASELINE_FILE.write_text(json.dumps({"n_grid": n_grid, "steps_per_s": sps}))
+        return sps
+    except Exception as e:
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+        return float("nan")
+
+
+def main():
+    sys.path.insert(0, str(Path(__file__).parent))
+    try:
+        sps, dt = measure_steps_per_s(N_GRID)
+        base = cpu_baseline(N_GRID)
+        vs = sps / base if base == base and base > 0 else None
+        print(json.dumps({
+            "metric": f"leapfrog_steps_per_s_{N_GRID}cube_alpt_rsd_gauss",
+            "value": round(sps, 3),
+            "unit": "steps/s/chip",
+            "vs_baseline": round(vs, 2) if vs is not None else None,
+        }))
+    except Exception as e:  # always emit one JSON line
+        print(json.dumps({"metric": "bench_error", "value": 0,
+                          "unit": str(e)[:200], "vs_baseline": None}))
+        raise
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Runner integration tests: mock setup, short run, outputs, checkpoint."""
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from barcode_tpu.config import HMCConfig, MockConfig, RunConfig
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu.forward.lag2eul import ForwardConfig
+from barcode_tpu.model.posterior import ModelConfig
+from barcode_tpu.runner import Runner
+from barcode_tpu import io as bio
+
+
+def small_conf(tmp_path, likelihood=1, n_chains=2):
+    return RunConfig(
+        grid=GridSpec.cube(8, 8.0),
+        model=ModelConfig(likelihood=likelihood,
+                          forward=ForwardConfig(sfmodel=1, masskernel="tsc")),
+        hmc=HMCConfig(eps_fac=0.3, eps_fac_update_type=3, mass_type=1,
+                      N_a_eps_update=16),
+        mock=MockConfig(random_test=True, sigma_min=0.5),
+        n_chains=n_chains,
+        N_Gibbs=3,
+        outnum=1,
+        dir=str(tmp_path),
+        seed=7,
+    )
+
+
+def test_runner_end_to_end(tmp_path):
+    conf = small_conf(tmp_path)
+    r = Runner(conf).setup()
+    # mock dumps exist and are reference-format readable
+    for f in ["deltaLAGtest", "deltaEULtest", "win", "nobs", "sigma"]:
+        arr = bio.read_array(tmp_path / f, conf.grid.shape)
+        assert arr.shape == conf.grid.shape
+    states = r.run(n_samples=3, max_attempts=400, log=True)
+    assert int(states.accepted.min()) >= 3
+    # sample dumps + spectrum + performance log
+    assert (tmp_path / "deltaLAG_1.dat").exists()
+    assert (tmp_path / "powSpecit1.dat").exists()
+    log_lines = (tmp_path / "performance_log.txt").read_text().splitlines()
+    assert len(log_lines) > 3 and log_lines[0].startswith("#")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    conf = small_conf(tmp_path)
+    r = Runner(conf).setup()
+    r.run(n_samples=1, max_attempts=64, log=False)
+    path = r.checkpoint()
+    before = r.states
+
+    r2 = Runner(conf, out_dir=str(tmp_path / "second")).setup()
+    r2.restore(path)
+    after = r2.states
+    for name in ["delta", "psi", "eps_fac", "acc_flags", "eps_table",
+                 "count_attempts", "accepted", "rejections"]:
+        np.testing.assert_array_equal(getattr(before, name), getattr(after, name),
+                                      err_msg=name)
+    # resumed sampling continues deterministically from the same keys
+    s1, _ = r._run(r.states, r.obs, r.mass)
+    s2, _ = r2._run(r2.states, r2.obs, r2.mass)
+    np.testing.assert_allclose(np.asarray(s1.delta), np.asarray(s2.delta), atol=1e-6)
+
+
+def test_fastexit(tmp_path):
+    conf = small_conf(tmp_path)
+    r = Runner(conf).setup()
+    (tmp_path / "fastexit").touch()
+    states = r.run(n_samples=100, max_attempts=1000, log=False)
+    assert int(states.count_attempts.max()) == 0  # stopped before any batch
+
+
+def test_poisson_mock_counts(tmp_path):
+    conf = small_conf(tmp_path, likelihood=0)
+    r = Runner(conf).setup()
+    nobs = np.asarray(r.obs.nobs)
+    assert (nobs >= 0).all()
+    assert np.allclose(nobs, np.round(nobs))  # integer counts
+    states = r.run(n_samples=1, max_attempts=200, log=False)
+    assert int(states.accepted.min()) >= 1
