@@ -62,9 +62,10 @@ def _stencil_gather(field, base, channel_weights, offsets, g: GridSpec):
     rolled = jnp.stack(
         [jnp.roll(field, shift=tuple(-o for o in off), axis=(0, 1, 2)).reshape(-1)
          for off in offsets], axis=-1)  # [N, K]
-    picked = rolled[flat_base]  # [N, K]
+    picked = rolled[flat_base]  # [n_particles, K]
     w = jnp.stack([w.reshape(-1) for w in channel_weights], axis=-1)
-    return jnp.sum(picked * w, axis=-1).reshape(g.shape)
+    # particle layout need not match the grid (e.g. upsampled gathers)
+    return jnp.sum(picked * w, axis=-1).reshape(base.shape[1:])
 
 
 def _wrap_base(base, g: GridSpec):

@@ -107,19 +107,32 @@ def spherical_collapse_div_psi(delta1, g: GridSpec, D1: float):
     return jnp.where(arg > 0.0, 3.0 * (jnp.sqrt(jnp.maximum(arg, 0.0)) - 1.0), -3.0)
 
 
-def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float):
+def cellbound(v):
+    """Half-cell diagonal average: 0.5*(v + v shifted by (+1,+1,+1)), the
+    reference's cell-center -> cell-corner interpolation (cellboundcomp,
+    massFunctions.cc:588-658 — its 7 periodic special cases are one roll)."""
+    return 0.5 * (v + jnp.roll(v, (1, 1, 1), (-3, -2, -1)))
+
+
+def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
+             apply_cellbound: bool = True):
     """ALPT: Gaussian long/short-range split at scale `slength`:
     div = K o div_2LPT + (1 - K) o div_SC, then one displacement solve.
 
     The reference smoothes each Psi *component* separately
     (Lag2Eul.cc:249-312); smoothing commutes with the spectral grad-inv-lap,
-    so blending the divergences first is equivalent and saves 12 FFTs.
+    so blending the divergences first is equivalent and saves 12 FFTs.  It
+    also applies cellboundcomp to each component (Lag2Eul.cc:290,300,311);
+    kept for parity via `apply_cellbound`.
     """
     div_2lpt = two_lpt_div_psi(delta1, g, D1, D2)
     div_sc = spherical_collapse_div_psi(delta1, g, D1)
     K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
     div_C = K * fourier.rfft3(div_2lpt) + (1.0 - K) * fourier.rfft3(div_sc)
-    return _psi_from_div_C(div_C, g)
+    psi = _psi_from_div_C(div_C, g)
+    if apply_cellbound:
+        psi = cellbound(psi)
+    return psi
 
 
 def lpt_psi(delta1, g: GridSpec, sfmodel: int, D1: float, D2: float, slength: float):

@@ -1,0 +1,184 @@
+"""Offline analysis tools — the 9 standalone binaries of the reference
+(/root/reference/tools/, SURVEY.md §2.10) as one CLI:
+
+    python -m barcode_tpu.tools <tool> [args...]
+
+tools: powspec, corr_fct, 2D_powspec, 2D_corr_fct, lag2eul, density,
+interp_upres, poisson_upres.
+All grid files are raw reference-format binaries (io.py), filenames given
+without the .dat extension like the reference tools.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _grid_arg(p):
+    p.add_argument("fname_in", help="input grid file (without .dat)")
+    p.add_argument("N", type=int, help="cells per axis")
+    p.add_argument("L", type=float, help="box size [Mpc/h]")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="barcode_tpu.tools")
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    for name in ("powspec", "corr_fct", "2D_powspec", "2D_corr_fct"):
+        sp = sub.add_parser(name)
+        _grid_arg(sp)
+        sp.add_argument("--nbin", type=int, default=200)
+        sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("lag2eul", help="delta_lag grid -> delta_eul (LAG2EULer)")
+    _grid_arg(sp)
+    sp.add_argument("--sfmodel", type=int, default=1)
+    sp.add_argument("--masskernel", default="sph_ft")
+    sp.add_argument("--z", type=float, default=0.0)
+    sp.add_argument("--slength", type=float, default=4.0)
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("density", help="x,y,z particle files -> SPH density grid")
+    sp.add_argument("fname_base", help="base name; reads <base>_x/_y/_z.dat")
+    sp.add_argument("N", type=int)
+    sp.add_argument("L", type=float)
+    sp.add_argument("--kernel-h", type=float, default=None)
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("interp_upres", help="CIC upsample a grid")
+    _grid_arg(sp)
+    sp.add_argument("N_out", type=int)
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("poisson_upres",
+                        help="Poisson-sample a density grid to higher-res particles")
+    _grid_arg(sp)
+    sp.add_argument("N_out", type=int)
+    sp.add_argument("Nbar", type=float, help="mean particles per output cell")
+    sp.add_argument("--seed", type=int, default=1)
+    sp.add_argument("--out", default=None)
+
+    args = p.parse_args(argv)
+    return run_tool(args)
+
+
+def run_tool(args):
+    import jax
+    import jax.numpy as jnp
+
+    from barcode_tpu import io as bio, statistics
+    from barcode_tpu.grid.spec import GridSpec
+    from barcode_tpu.grid import fourier
+
+    tool = args.tool
+    if tool in ("powspec", "corr_fct", "2D_powspec", "2D_corr_fct"):
+        g = GridSpec.cube(args.N, args.L)
+        x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
+        out = args.out or f"{args.fname_in}_{tool}"
+        if tool == "powspec":
+            km, pw, _ = jax.jit(lambda x: fourier.measure_spectrum(x, g, args.nbin))(x)
+            bio.dump_spectrum(out + ".dat", km, pw)
+        elif tool == "corr_fct":
+            rm, corr, _ = jax.jit(lambda x: statistics.measure_correlation(x, g, args.nbin))(x)
+            bio.dump_spectrum(out + ".dat", rm, corr)
+        elif tool == "2D_powspec":
+            km, pw, _ = jax.jit(lambda x: statistics.measure_spectrum_2d(x, g, args.nbin))(x)
+            bio.write_array(out, np.asarray(pw))
+        else:
+            rm, corr, _ = jax.jit(lambda x: statistics.measure_correlation_2d(x, g, args.nbin))(x)
+            bio.write_array(out, np.asarray(corr))
+        print(f"wrote {out}.dat")
+        return 0
+
+    if tool == "lag2eul":
+        from barcode_tpu import cosmo
+        from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+
+        g = GridSpec.cube(args.N, args.L)
+        x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
+        c = cosmo.preset("wmap7_max", z=args.z)
+        gp = GrowthParams(D1=cosmo.d_growth(c), D2=cosmo.d2_growth(c),
+                          ascale=c.ascale, cpecvel=cosmo.c_pecvel(c),
+                          hubble=cosmo.hubble_a(c))
+        mk = args.masskernel
+        mk = int(mk) if mk.isdigit() else mk
+        fc = ForwardConfig(sfmodel=args.sfmodel, masskernel=mk, slength=args.slength)
+        d_eul = jax.jit(lambda x: lag2eul(x, g, fc, gp))(x)
+        out = args.out or f"{args.fname_in}_eul"
+        bio.write_array(out, np.asarray(d_eul))
+        print(f"wrote {out}.dat")
+        return 0
+
+    if tool == "density":
+        from barcode_tpu.forward import assign
+
+        g = GridSpec.cube(args.N, args.L)
+        xs = [bio.read_array(f"{args.fname_base}_{a}") for a in "xyz"]
+        n_part = xs[0].shape[0]
+        # arbitrary particle lists: reshape into the grid layout expected by
+        # the deposit (pad to a cube if needed)
+        h = args.kernel_h if args.kernel_h else g.cell_avg
+        pos = jnp.asarray(np.stack(xs))
+        # deposit via the generic flat path: pad particle count to grid size
+        pad = g.N - n_part % g.N if n_part % g.N else 0
+        w = jnp.concatenate([jnp.ones(n_part), jnp.zeros(pad)])
+        posp = jnp.pad(pos, ((0, 0), (0, pad)))
+        reps = posp.shape[1] // g.N
+        rho = 0.0
+        for r in range(reps):
+            sl = slice(r * g.N, (r + 1) * g.N)
+            rho = rho + assign.sph_deposit(
+                posp[:, sl].reshape(3, *g.shape), g, h,
+                weights=w[sl].reshape(g.shape))
+        out = args.out or f"{args.fname_base}_sph_density"
+        bio.write_array(out, np.asarray(rho))
+        print(f"wrote {out}.dat")
+        return 0
+
+    if tool == "interp_upres":
+        from barcode_tpu.forward import assign
+
+        g = GridSpec.cube(args.N, args.L)
+        g_out = GridSpec.cube(args.N_out, args.L)
+        x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
+        from barcode_tpu.forward import particles
+        pos_out = particles.lagrangian_positions(g_out)
+        up = jax.jit(lambda x: assign.cic_gather(x, pos_out, g))(x)
+        out = args.out or f"{args.fname_in}_interpCIC{args.N_out}"
+        bio.write_array(out, np.asarray(up))
+        print(f"wrote {out}.dat")
+        return 0
+
+    if tool == "poisson_upres":
+        g = GridSpec.cube(args.N, args.L)
+        g_out = GridSpec.cube(args.N_out, args.L)
+        x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
+        from barcode_tpu.forward import assign, particles
+
+        # CIC-interpolate lambda onto the output grid, scale to Nbar per cell
+        pos_out = particles.lagrangian_positions(g_out)
+        lam = assign.cic_gather(x, pos_out, g)
+        lam = jnp.maximum(args.Nbar * (1.0 + lam), 0.0)
+        key = jax.random.key(args.seed)
+        k1, k2 = jax.random.split(key)
+        counts = jax.random.poisson(k1, lam)
+        u = jax.random.uniform(k2, (3,) + g_out.shape)
+        d = jnp.asarray(g_out.cell).reshape(3, 1, 1, 1)
+        base = particles.lagrangian_positions(g_out) - 0.5 * d
+        pos = base + u * d  # one random position per cell; weight = count
+        out = args.out or f"{args.fname_in}_pois{args.N_out}"
+        for a, name in enumerate("xyz"):
+            bio.write_array(f"{out}_{name}", np.asarray(pos[a]).ravel())
+        bio.write_array(f"{out}_w", np.asarray(counts).ravel().astype(np.float32))
+        print(f"wrote {out}_[xyzw].dat (weighted positions: one site per cell, "
+              "weight = Poisson count; exact per-particle jitter needs host-side "
+              "expansion)")
+        return 0
+
+    raise SystemExit(f"unknown tool {args.tool}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,12 +135,12 @@ def test_alpt_limits():
     K -> only DC, so ALPT -> spherical collapse part."""
     P = jnp.ones(G.rshape).at[0, 0, 0].set(0.0)
     delta = 0.05 * rf.grf(jax.random.key(1), G, P)
-    alpt_long = lpt.alpt_psi(delta, G, 1.0, -3.0 / 7.0, 1e4)
+    alpt_long = lpt.alpt_psi(delta, G, 1.0, -3.0 / 7.0, 1e4, apply_cellbound=False)
     div_sc = lpt.spherical_collapse_div_psi(delta, G, 1.0)
     psi_sc = lpt._psi_from_div_C(fourier.rfft3(div_sc), G)
     np.testing.assert_allclose(np.asarray(alpt_long), np.asarray(psi_sc), atol=1e-4)
     # tiny slength: ALPT -> 2LPT
-    alpt_short = lpt.alpt_psi(delta, G, 1.0, -3.0 / 7.0, 1e-4)
+    alpt_short = lpt.alpt_psi(delta, G, 1.0, -3.0 / 7.0, 1e-4, apply_cellbound=False)
     two = lpt.two_lpt_psi(delta, G, 1.0, -3.0 / 7.0)
     np.testing.assert_allclose(np.asarray(alpt_short), np.asarray(two), atol=1e-4)
 
