@@ -30,6 +30,73 @@ def mass_flags(mass_type: int):
     return mass_type in FS_TYPES, mass_type in RS_TYPES
 
 
+def jasche_response_kernel(g: GridSpec, h: float):
+    """G(q) = IFFT[ sum_a (-i k_a / k^2) FFT(grad_a W4) ](q): the response of
+    the h-assembly to a unit particle at lattice offset q (grad W4 sampled
+    at cell centers relative to a particle at a cell center)."""
+    from barcode_tpu.forward import assign
+
+    d = jnp.asarray(g.cell).reshape(3, 1, 1, 1)
+    # min-image lattice offsets from the origin cell center
+    def centered(n, dd):
+        i = jnp.arange(n)
+        return jnp.where(i <= n // 2, i, i - n).astype(jnp.float32) * dd
+
+    rx = centered(g.N1, g.cell[0])[:, None, None]
+    ry = centered(g.N2, g.cell[1])[None, :, None]
+    rz = centered(g.N3, g.cell[2])[None, None, :]
+    r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    q = r / h
+    # dW4/dr / r  (so grad = (dW/dr/r) * r_vec), norm 1/(pi h^4) per
+    # grad_SPH_kernel_3D_h_units (SPH_kernel.cpp:148-208)
+    norm = 1.0 / (jnp.pi * h**4)
+    q_safe = jnp.where(q > 1e-12, q, 1.0)
+    partial = jnp.where(
+        q > 2.0, 0.0,
+        jnp.where(q > 1.0,
+                  -0.75 * (q_safe - 2.0) ** 2 / q_safe,
+                  2.25 * q_safe - 3.0)) * norm / h  # /h: d/dr = (1/h) d/dq
+    r_safe = jnp.where(r > 0, r, 1.0)
+    gx = partial * jnp.where(r > 0, rx / r_safe, 0.0)
+    gy = partial * jnp.where(r > 0, ry / r_safe, 0.0)
+    gz = partial * jnp.where(r > 0, rz / r_safe, 0.0)
+
+    hC = 0.0
+    kx, ky, kz = fourier.kvec(g)
+    k2 = kx * kx + ky * ky + kz * kz
+    guard = k2 > 0
+    inv_k2 = jnp.where(guard, 1.0 / jnp.where(guard, k2, 1.0), 0.0)
+    mask = fourier.nyquist_mask(g)
+    for comp, kl in ((gx, kx), (gy, ky), (gz, kz)):
+        hC = hC + (-1j) * kl * inv_k2 * mask * fourier.rfft3(comp)
+    return fourier.irfft3(hC, g)
+
+
+def jasche_diagonal_mass(g: GridSpec, window, noise, h: float,
+                         rho_c: float = 1.0):
+    """1st-order diagonal likelihood-force mass (Jasche+13).
+
+    The reference computes C_ii = sum_l w_l/sigma_l^2 [D_l(i)]^2 with an
+    O(N^2) loop of per-cell FFT triplets, cached to disk because it takes
+    hours (likeli_force_1st_order_diagonal_mass, HMC_mass.cc:230-306;
+    SURVEY.md hard-part #6 mandates redesign).  On the unperturbed lattice
+    D_l(q) = G(q - l) is translation-invariant, so the whole thing is ONE
+    convolution:  C = (w/sigma^2) * G^2, i.e. 2 FFTs:
+
+        C = IFFT[ FFT(w/sigma^2) . FFT(G^2) ] * (rho_c V/N)^2.
+
+    The reference evaluates D_l at the *displaced* particle positions; since
+    the mass is only a preconditioner (it never changes the stationary
+    distribution), the lattice approximation trades that refinement for a
+    ~N^2/2 speedup.
+    """
+    G2 = jasche_response_kernel(g, h) ** 2
+    f = window / (noise * noise)
+    C = fourier.irfft3(fourier.rfft3(f) * fourier.rfft3(G2), g)
+    scale = (rho_c * g.vol / g.N) ** 2
+    return jnp.maximum(C * scale, 0.0)
+
+
 def _inv_power(power_rfft):
     return jnp.where(power_rfft > 0.0, 1.0 / jnp.where(power_rfft > 0.0, power_rfft, 1.0), 0.0)
 
@@ -46,15 +113,28 @@ def _spectrum_to_grid(g: GridSpec, kmode, power, nbin: int):
 
 
 def compute_mass(g: GridSpec, mass_type: int, power_rfft, nbin: int = 200,
-                 likeli_force=None, mass_factor: float = 1.0) -> MassState:
+                 likeli_force=None, mass_factor: float = 1.0,
+                 window=None, noise=None, kernel_h: float = 0.0,
+                 burned_in: bool = True) -> MassState:
     """Build the MassState.  `likeli_force` (grad of -log L at the current
-    signal, grid shape) is required for types 2 and 3."""
+    signal, grid shape) is required for types 2 and 3; `window`, `noise`
+    and `kernel_h` for the Jasche types 5/6/60."""
     mass_f = jnp.zeros_like(power_rfft)
     mass_r = 0.0
     if mass_type == 0:
         mass_r = 1.0
     elif mass_type == 1:
         mass_f = _inv_power(power_rfft)
+    elif mass_type in (5, 6, 60):
+        if mass_type == 5:
+            mass_f = _inv_power(power_rfft)
+        if mass_type == 60 and not burned_in:
+            # type 0 until burn-in (HMC_mass.cc:346-356)
+            mass_r = 1.0
+        else:
+            if window is None or noise is None or kernel_h <= 0:
+                raise ValueError(f"mass_type {mass_type} needs window/noise/kernel_h")
+            mass_r = jasche_diagonal_mass(g, window, noise, kernel_h)
     elif mass_type in (2, 3):
         if likeli_force is None:
             raise ValueError(f"mass_type {mass_type} needs the likelihood force")

@@ -129,9 +129,16 @@ class Runner:
         force = None
         if hc.mass_type in (2, 3):
             force = self._likelihood_force(self.current_signal())
-        return mass_mod.compute_mass(self.g, hc.mass_type, self.obs.power,
-                                     nbin=self.conf.N_bin, likeli_force=force,
-                                     mass_factor=hc.mass_factor)
+        from barcode_tpu.forward.lag2eul import kernel_h as kh
+        burned_in = (self.states is not None and
+                     int(self.states.accepted.min()) >= hc.s_eps_total(self.g.N))
+        return mass_mod.compute_mass(
+            self.g, hc.mass_type, self.obs.power,
+            nbin=self.conf.N_bin, likeli_force=force,
+            mass_factor=hc.mass_factor,
+            window=self.obs.window, noise=self.obs.noise,
+            kernel_h=kh(self.conf.model.forward, self.g),
+            burned_in=burned_in)
 
     def _likelihood_force(self, signal):
         mc = self.conf.model

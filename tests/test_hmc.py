@@ -246,11 +246,32 @@ def test_adapt_type3_halves_before_first_accept():
     np.testing.assert_allclose(e, 1.0)
 
 
-@pytest.mark.parametrize("mt", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("mt", [0, 1, 2, 3, 4, 5, 6, 60])
 def test_mass_types_build(mt):
     _, obs = setup()
     force = jax.random.normal(jax.random.key(0), G.shape)
-    m = mass_mod.compute_mass(G, mt, obs.power, likeli_force=force)
+    m = mass_mod.compute_mass(G, mt, obs.power, likeli_force=force,
+                              window=obs.window, noise=obs.noise,
+                              kernel_h=G.cell_avg)
     p = mass_mod.draw_momenta(jax.random.key(1), G, mt, m)
     k = float(mass_mod.kinetic(p, G, mt, m))
     assert np.isfinite(k) and k > 0
+
+
+def test_jasche_mass_matches_direct_sum():
+    """The 2-FFT convolution form equals the direct lattice sum
+    C(q) = sum_l w_l/sigma_l^2 G(q-l)^2 (tiny grid, numpy rolls)."""
+    _, obs = setup()
+    h = G.cell_avg
+    Gk = np.asarray(mass_mod.jasche_response_kernel(G, h))
+    w = np.asarray(obs.window) / np.asarray(obs.noise) ** 2
+    direct = np.zeros(G.shape, np.float64)
+    G2 = (Gk**2).astype(np.float64)
+    for i in range(G.N1):
+        for j in range(G.N2):
+            for k in range(G.N3):
+                if w[i, j, k] != 0.0:
+                    direct += w[i, j, k] * np.roll(G2, (i, j, k), (0, 1, 2))
+    direct *= (G.vol / G.N) ** 2
+    fast = np.asarray(mass_mod.jasche_diagonal_mass(G, obs.window, obs.noise, h))
+    np.testing.assert_allclose(fast, direct, rtol=2e-2, atol=1e-3 * direct.max())
