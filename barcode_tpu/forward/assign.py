@@ -225,7 +225,11 @@ def sph_deposit(pos, g: GridSpec, h: float, weights=None):
         # distance from particle to that cell's center (no wrap needed:
         # |off * d| <= 2h + d/2 << L/2)
         diff = pos - (base_f + o + 0.5) * d
-        r = jnp.sqrt(diff[0] ** 2 + diff[1] ** 2 + diff[2] ** 2)
+        r2 = diff[0] ** 2 + diff[1] ** 2 + diff[2] ** 2
+        # sqrt(0) has an undefined autodiff derivative; W4 is smooth with
+        # zero slope at r=0, so guard the branch (a particle sits exactly on
+        # a cell center whenever the displacement is zero there)
+        r = jnp.where(r2 > 0, jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
         w = w4(r / h) * norm
         if weights is not None:
             w = w * weights

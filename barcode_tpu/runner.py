@@ -206,7 +206,9 @@ class Runner:
         reference's N_Gibbs), dumping chain-0 fields every `outnum` samples."""
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
-        next_dump = max(1, conf.outnum)
+        # samples 1-10 are always dumped, then every outnum-th
+        # (input.par `outnum` comment; barcoderunner.cc:512-528)
+        next_dump = 1
         attempts_done = 0
         t0 = time.time()
         while attempts_done < max_attempts:
@@ -220,7 +222,7 @@ class Runner:
             acc0 = int(self.states.accepted[0])
             while acc0 >= next_dump and next_dump <= n_samples:
                 self.dump_sample(next_dump)
-                next_dump += max(1, conf.outnum)
+                next_dump += 1 if next_dump < 10 else max(1, conf.outnum)
             min_acc = int(self.states.accepted.min())
             if log and attempts_done % (self.attempt_batch * progress_every) == 0:
                 rate = float(np.asarray(stats.acc_rate_recent)[-1].mean())
