@@ -201,22 +201,31 @@ class Runner:
     # -- sampling loop ----------------------------------------------------
 
     def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
-            log: bool = True, progress_every: int = 10):
+            log: bool = True, progress_every: int = 10,
+            nan_check: bool = False):
         """Sample until every chain has >= n_samples accepted samples (the
-        reference's N_Gibbs), dumping chain-0 fields every `outnum` samples."""
+        reference's N_Gibbs), dumping chain-0 fields every `outnum` samples.
+
+        nan_check=True aborts on non-finite sampler state (the reference's
+        NAN_DETECTION FPE trap, main.cc:46-78)."""
+        from barcode_tpu.utils.metrics import SamplerMetrics, check_finite
+
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
         # samples 1-10 are always dumped, then every outnum-th
         # (input.par `outnum` comment; barcoderunner.cc:512-528)
         next_dump = 1
         attempts_done = 0
-        t0 = time.time()
+        self.metrics = SamplerMetrics()
         while attempts_done < max_attempts:
             if (self.dir / "fastexit").exists():
                 print("fastexit sentinel found — stopping cleanly")
                 break
             self.states, stats = self._run(self.states, self.obs, self.mass)
             attempts_done += self.attempt_batch
+            self.metrics.update(stats)
+            if nan_check:
+                check_finite(self.states, f"after attempt {attempts_done}")
             if log:
                 self._log_attempts(stats)
             acc0 = int(self.states.accepted[0])
@@ -225,10 +234,8 @@ class Runner:
                 next_dump += 1 if next_dump < 10 else max(1, conf.outnum)
             min_acc = int(self.states.accepted.min())
             if log and attempts_done % (self.attempt_batch * progress_every) == 0:
-                rate = float(np.asarray(stats.acc_rate_recent)[-1].mean())
-                print(f"attempts={attempts_done} accepted(min)={min_acc} "
-                      f"acc_rate={rate:.2f} eps_fac={float(self.states.eps_fac.mean()):.4g} "
-                      f"[{time.time()-t0:.1f}s]")
+                print(self.metrics.status_line(
+                    f"acc_min={min_acc} eps_fac={float(self.states.eps_fac.mean()):.4g}"))
             if min_acc >= n_samples:
                 break
             if conf.hmc.total_steps_lim and attempts_done >= conf.hmc.total_steps_lim:
