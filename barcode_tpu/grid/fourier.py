@@ -176,6 +176,40 @@ def jax_erfc(u):
     return jsp.erfc(u)
 
 
+def smooth_zeropad(x, g: GridSpec, scale: float, filtertype: int = 1):
+    """Smoothing with 2x zero-padding — the reference's `zeropad` branch for
+    non-periodic convolution (convolve, convolution.cpp:23-221: field copied
+    into the center of a doubled box, kernel built with the doubled L/N).
+    """
+    gz = GridSpec(2 * g.N1, 2 * g.N2, 2 * g.N3, 2 * g.L1, 2 * g.L2, 2 * g.L3)
+    big = jnp.zeros(gz.shape, x.dtype)
+    big = big.at[g.N1 // 2: g.N1 // 2 + g.N1,
+                 g.N2 // 2: g.N2 // 2 + g.N2,
+                 g.N3 // 2: g.N3 // 2 + g.N3].set(x)
+    sm = smooth(big, gz, scale, filtertype)
+    return sm[g.N1 // 2: g.N1 // 2 + g.N1,
+              g.N2 // 2: g.N2 // 2 + g.N2,
+              g.N3 // 2: g.N3 // 2 + g.N3]
+
+
+def fft_upsample(x, g: GridSpec, factor: int):
+    """Band-limited upsampling by Fourier zero-padding (the FFT-interpolation
+    mode of tools/2D_corr_fct_interp.cc:35-433).  Preserves the mean and all
+    existing modes; new modes are zero."""
+    X = rfft3(x)
+    g2 = GridSpec(factor * g.N1, factor * g.N2, factor * g.N3, g.L1, g.L2, g.L3)
+    big = jnp.zeros(g2.rshape, X.dtype)
+
+    n1, n2, n3h = g.rshape
+    h1, h2 = g.N1 // 2, g.N2 // 2
+    # copy the four (x,y) frequency corners; z is already low-first in rfft
+    big = big.at[:h1, :h2, :n3h].set(X[:h1, :h2, :])
+    big = big.at[:h1, -(n2 - h2):, :n3h].set(X[:h1, h2:, :])
+    big = big.at[-(n1 - h1):, :h2, :n3h].set(X[h1:, :h2, :])
+    big = big.at[-(n1 - h1):, -(n2 - h2):, :n3h].set(X[h1:, h2:, :])
+    return irfft3(big, g2) * (factor**3)
+
+
 # ---------------------------------------------------------------------------
 # Power-spectrum measurement
 # ---------------------------------------------------------------------------

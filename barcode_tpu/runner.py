@@ -63,6 +63,9 @@ class Runner:
         self.attempt_batch = 16
         self._run = None
         self._perflog = None
+        from barcode_tpu.protocol import Protocols
+        self._protocols = Protocols(self.dir)
+        self._truth_spec = None
 
     # -- setup ------------------------------------------------------------
 
@@ -169,10 +172,12 @@ class Runner:
                             ("spec_nobs", md.obs.nobs)]:
             km, pw, _ = fourier.measure_spectrum(field, g, nb)
             bio.dump_spectrum(self.dir / f"{name}.dat", km, pw)
+            if name == "specLAGtest":
+                self._truth_spec = np.asarray(pw)
 
     def dump_sample(self, iteration: int, chain: int = 0):
         """dump_deltas + dump_ps_it (IOfunctionsGen.cc:136-171,
-        IOfunctions.cc:37)."""
+        IOfunctions.cc:37) + protocol rows (protocol.cc)."""
         s = self.current_signal(chain)
         mc = self.conf.model
         bio.write_array(self.dir / f"deltaLAG_{iteration}", np.asarray(s))
@@ -184,6 +189,11 @@ class Runner:
             bio.write_array(self.dir / f"deltaRSS_{iteration}", np.asarray(d_rss))
         km, pw, _ = fourier.measure_spectrum(s, self.g, self.conf.N_bin)
         bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+        if self._protocols is not None:
+            acc = float(np.asarray(self.states.acc_flags[chain]).mean())
+            resid = float(self.states.psi_like[chain]) / (self.g.N / 2.0)
+            self._protocols.log_convergence(iteration, resid, acc)
+            self._protocols.log_spectrum(iteration, km, pw, self._truth_spec)
 
     def _log_attempts(self, stats):
         """Append chain-0 rows to performance_log.txt (HMC.cc:40-60 format)."""
@@ -263,6 +273,8 @@ class Runner:
         meta = {"n_leaves": len(leaves), "key_leaves": key_ix,
                 "conf_seed": self.conf.seed, "grid": [self.g.N1, self.g.L1]}
         path.with_suffix(".json").write_text(json.dumps(meta))
+        if self._protocols is not None and self.states is not None:
+            self._protocols.write_restart_marker(int(self.states.accepted.min()))
         return path
 
     def restore(self, path=None):

@@ -1,0 +1,85 @@
+"""Auxiliary subsystem tests: transfer functions, metrics, protocols,
+zero-padded smoothing, FFT upsampling."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu.grid import fourier
+from barcode_tpu.forward import transfer
+from barcode_tpu.utils import metrics
+from barcode_tpu.protocol import Protocols
+
+G = GridSpec.cube(16, 160.0)
+
+
+def test_rankorder_monotone_and_continuous():
+    d = jnp.linspace(-0.99, 20.0, 2000)
+    for fn in (transfer.rankorder_leclercq_za, transfer.rankorder_leclercq_2lpt):
+        y = np.asarray(fn(d))
+        assert (np.diff(y) > 0).all()  # monotone (rank-preserving)
+        assert np.abs(np.diff(y)).max() < 1.0  # no jump at the threshold
+
+
+def test_transfer_identity_and_scaling():
+    k = np.logspace(-3, 1, 50)
+    x = jax.random.normal(jax.random.key(0), G.shape)
+    y = transfer.apply_transfer_table(x, G, k, np.full_like(k, 2.0))
+    np.testing.assert_allclose(np.asarray(y), 2.0 * np.asarray(x), atol=1e-4)
+
+
+def test_fft_upsample_preserves_modes():
+    x = jax.random.normal(jax.random.key(1), G.shape)
+    up = fourier.fft_upsample(x, G, 2)
+    assert up.shape == (32, 32, 32)
+    # original samples sit at even indices... no — band-limited interpolation
+    # preserves the mean and total power of existing modes
+    np.testing.assert_allclose(float(up.mean()), float(x.mean()), atol=1e-5)
+    # every original interior mode is preserved exactly (amplitude scales
+    # by factor^3 with the unnormalized-forward convention)
+    F1 = np.asarray(fourier.rfft3(x))
+    F2 = np.asarray(fourier.rfft3(up)) / 8.0
+    for m in [(1, 2, 3), (3, 1, 0), (5, 14, 2)]:  # 14 = -2 on the 16 grid
+        m2 = (m[0], m[1] if m[1] <= 8 else m[1] + 16, m[2])
+        np.testing.assert_allclose(F2[m2], F1[m], rtol=1e-4, atol=1e-4)
+
+
+def test_smooth_zeropad_close_to_periodic_for_small_kernels():
+    x = jax.random.normal(jax.random.key(2), G.shape)
+    a = fourier.smooth(x, G, 5.0, 1)
+    b = fourier.smooth_zeropad(x, G, 5.0, 1)
+    # interior cells should agree well (kernel support << box)
+    ia = np.asarray(a)[4:12, 4:12, 4:12]
+    ib = np.asarray(b)[4:12, 4:12, 4:12]
+    corr = np.corrcoef(ia.ravel(), ib.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_metrics_ess_and_summary():
+    rng = np.random.default_rng(0)
+    assert metrics.effective_sample_size(rng.normal(size=500)) > 300
+    walk = np.cumsum(rng.normal(size=500))
+    assert metrics.effective_sample_size(walk) < 100
+
+
+def test_check_finite_raises():
+    class S:
+        delta = np.array([1.0, np.nan])
+        psi = np.array(1.0)
+        grad = np.array([0.0, 0.0])
+        eps_fac = np.array(0.1)
+
+    import pytest
+    with pytest.raises(FloatingPointError):
+        metrics.check_finite(S())
+
+
+def test_protocols_files(tmp_path):
+    p = Protocols(tmp_path)
+    p.log_convergence(1, 0.9, 0.65)
+    p.log_spectrum(1, np.arange(10.0), np.ones(10), np.ones(10) * 2)
+    p.write_restart_marker(5)
+    assert (tmp_path / "convergence.prt").read_text().count("\n") == 2
+    spec = (tmp_path / "spec_protocol.prt").read_text()
+    assert "0.5" in spec  # ratio to truth
+    assert (tmp_path / "restart.prt").read_text().strip() == "5"
