@@ -66,6 +66,7 @@ class HMCConfig:
     total_steps_lim: int = 0           # 0 -> unlimited
     div_dH_by_N: bool = False
     mass_factor: float = 1.0
+    pool_adaptation: bool = False      # pool the eps controller window across chains
 
     def eps_fac_target(self, N: int) -> float:
         """Heuristic optimal step scale 2.389 N^-0.575 (init_par.cc:260)."""

@@ -14,6 +14,9 @@ Types (input.par eps_fac_update_type):
 """
 from __future__ import annotations
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
 
 from barcode_tpu.config import HMCConfig
@@ -67,10 +70,21 @@ def _downward(eps_fac, acc_flags, eps_table, hc: HMCConfig):
     return jnp.where(peak_ok, candidate, fallback)
 
 
-def _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table, hc: HMCConfig):
+def _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table,
+                     hc: HMCConfig, pool_axis: str | None = None):
     """Type-2 controller body: fires when count_attempts % N_a == 0
-    (time_step.cpp:104-135)."""
+    (time_step.cpp:104-135).
+
+    With `pool_axis` (a vmap/shard_map axis name), the (epsilon, accepted)
+    window is all-gathered across chains and the controller runs on the
+    pooled tables — C chains adapt from C*N_a observations instead of N_a
+    (SURVEY.md §5.8: the reference's per-run tables become a cross-chain
+    reduction)."""
     fire = (count_attempts % hc.N_a_eps_update == 0) & (count_attempts > 0)
+    if pool_axis is not None:
+        acc_flags = jax.lax.all_gather(acc_flags, pool_axis).reshape(-1)
+        eps_table = jax.lax.all_gather(eps_table, pool_axis).reshape(-1)
+        hc = dataclasses.replace(hc, N_a_eps_update=acc_flags.shape[0])
     alpha = jnp.mean(acc_flags.astype(jnp.float32))
     acc_target = (hc.acc_max + hc.acc_min) / 2.0
 
@@ -82,7 +96,8 @@ def _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table, hc: HMCConfi
 
 
 def update_eps_fac(eps_fac, count_attempts, rejections, got_first_accept,
-                   acc_flags, eps_table, hc: HMCConfig, N: int):
+                   acc_flags, eps_table, hc: HMCConfig, N: int,
+                   pool_axis: str | None = None):
     """Dispatch on the static update type (update_eps_fac,
     time_step.cpp:151-185).  Called before each trajectory."""
     t = hc.eps_fac_update_type
@@ -93,9 +108,11 @@ def update_eps_fac(eps_fac, count_attempts, rejections, got_first_accept,
         target = hc.eps_fac_target(N)
         return jnp.where(fire, power_mean(eps_fac, target, hc.eps_fac_power), eps_fac)
     if t == 2:
-        return _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table, hc)
+        return _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table,
+                                hc, pool_axis)
     if t == 3:
         fast = (~got_first_accept) & (rejections > 0)
-        normal = _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table, hc)
+        normal = _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table,
+                                  hc, pool_axis)
         return jnp.where(fast, eps_fac / 2.0, normal)
     raise ValueError(f"unknown eps_fac_update_type {t}")

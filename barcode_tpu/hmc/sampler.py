@@ -93,10 +93,12 @@ def make_attempt(g: GridSpec, mc: ModelConfig, gp: GrowthParams, hc: HMCConfig):
 
         key, k_mom, k_neps, k_eps, k_acc = jax.random.split(state.key, 5)
 
-        # 1. controller (uses tables of *completed* attempts)
+        # 1. controller (uses tables of *completed* attempts; optionally the
+        #    window pooled across the vmapped chain axis)
         eps_fac = adapt.update_eps_fac(
             state.eps_fac, state.count_attempts, state.rejections,
-            state.got_first_accept, state.acc_flags, state.eps_table, hc, g.N)
+            state.got_first_accept, state.acc_flags, state.eps_table, hc, g.N,
+            pool_axis="chains" if hc.pool_adaptation else None)
 
         # 2. momenta
         p0 = mass_mod.draw_momenta(k_mom, g, hc.mass_type, mass, state.delta.dtype)
@@ -175,7 +177,8 @@ def make_sampler(g: GridSpec, mc: ModelConfig, gp: GrowthParams, hc: HMCConfig,
 
     def run(states: ChainState, obs: ObsData, mass: MassState):
         def step(carry, _):
-            st, stats = jax.vmap(lambda s: attempt(s, obs, mass))(carry)
+            st, stats = jax.vmap(lambda s: attempt(s, obs, mass),
+                                 axis_name="chains")(carry)
             return st, stats
 
         states, stats = jax.lax.scan(step, states, None, length=n_attempts_per_call)

@@ -20,6 +20,7 @@ from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
 from barcode_tpu.model.likelihoods import ObsData
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MockData:
     truth_lag: Any
@@ -79,10 +80,20 @@ def generate(key, g: GridSpec, mock: MockConfig, fc: ForwardConfig,
         raise ValueError(f"data_model {mock.data_model} is not a valid choice")
 
     nobs = jnp.where(window > 0, nobs, 0.0)
-    if likelihood in (1, 3) and float(jnp.min(jnp.where(window > 0, noise, 1.0))) <= 0.0:
-        raise ValueError("noise = 0 found inside the window "
-                         "(guard of barcoderunner.cc:190-198)")
-
     obs = ObsData(nobs=nobs, window=window, noise=noise, power=power_rfft,
                   rho_c=rho_c, delta_min=delta_min)
     return MockData(truth_lag=truth, truth_eul=d_eul, obs=obs)
+
+
+def validate(md: MockData, likelihood: int) -> None:
+    """Host-side guard: zero noise inside the window NaNs the Gaussian/GRF
+    likelihoods (barcoderunner.cc:190-198).  Kept out of `generate` so that
+    function stays fully jittable."""
+    import numpy as np
+
+    if likelihood in (1, 3):
+        noise = np.asarray(md.obs.noise)
+        win = np.asarray(md.obs.window)
+        if (noise[win > 0] <= 0.0).any():
+            raise ValueError("noise = 0 found inside the window "
+                             "(guard of barcoderunner.cc:190-198)")

@@ -66,6 +66,14 @@ class Runner:
         from barcode_tpu.protocol import Protocols
         self._protocols = Protocols(self.dir)
         self._truth_spec = None
+        # jitted helpers (the axon TPU backend has no eager ops)
+        self._spec_jit = jax.jit(
+            lambda x: fourier.measure_spectrum(x, self.g, self.conf.N_bin))
+        fwd = conf.model.forward
+        self._lag2eul_jit = jax.jit(
+            lambda s: lag2eul(s, self.g, dataclasses.replace(fwd, rsd=False), self.gp))
+        self._lag2eul_rsd_jit = jax.jit(
+            lambda s: lag2eul(s, self.g, fwd, self.gp)) if fwd.rsd else None
 
     # -- setup ------------------------------------------------------------
 
@@ -81,13 +89,16 @@ class Runner:
 
     def setup(self, n_chains: int | None = None):
         conf = self.conf
-        power = self.load_power()
+        # every array-producing path is jitted: the axon TPU backend has no
+        # eager op support (see .claude/skills/verify/SKILL.md)
+        power = jax.jit(self.load_power)()
         self.key, k_mock, k_guess, k_chains = jax.random.split(self.key, 4)
 
         if conf.mock.random_test:
-            md = mock_mod.generate(
-                k_mock, self.g, conf.mock, conf.model.forward, self.gp, power,
-                conf.model.likelihood, delta_min=conf.delta_min)
+            md = jax.jit(lambda k: mock_mod.generate(
+                k, self.g, conf.mock, conf.model.forward, self.gp, power,
+                conf.model.likelihood, delta_min=conf.delta_min))(k_mock)
+            mock_mod.validate(md, conf.model.likelihood)
             self.obs, self.truth = md.obs, md.truth_lag
             self._dump_mock(md)
         else:
@@ -102,7 +113,9 @@ class Runner:
         guess = self._initial_guess(k_guess)
         init = sampler.make_init(self.g, conf.model, self.gp, conf.hmc)
         keys = jax.random.split(k_chains, n_chains)
-        self.states = jax.vmap(lambda k: init(k, guess, self.obs))(keys)
+        self.states = jax.jit(
+            lambda ks, gs, ob: jax.vmap(lambda k: init(k, gs, ob))(ks)
+        )(keys, guess, self.obs)
         self.mass = self._compute_mass()
         self._run = sampler.make_sampler(self.g, conf.model, self.gp, conf.hmc,
                                          n_attempts_per_call=self.attempt_batch)
@@ -118,13 +131,15 @@ class Runner:
             return jnp.asarray(bio.read_array(self.dir / conf.initial_guess_file,
                                               self.g.shape))
         if ig in (2, 3):
-            s = random_fields.grf(key, self.g, self.obs.power)
-            if ig == 3:
-                s = fourier.smooth(s, self.g, conf.initial_guess_smoothing_scale,
-                                   conf.initial_guess_smoothing_type)
-            return s
+            def make(k, P):
+                s = random_fields.grf(k, self.g, P)
+                if ig == 3:
+                    s = fourier.smooth(s, self.g, conf.initial_guess_smoothing_scale,
+                                       conf.initial_guess_smoothing_type)
+                return s
+            return jax.jit(make)(key, self.obs.power)
         if ig == 4:
-            return 0.1 * jax.random.normal(key, self.g.shape)
+            return jax.jit(lambda k: 0.1 * jax.random.normal(k, self.g.shape))(key)
         raise ValueError(f"invalid initial_guess {ig}")
 
     def _compute_mass(self):
@@ -135,13 +150,13 @@ class Runner:
         from barcode_tpu.forward.lag2eul import kernel_h as kh
         burned_in = (self.states is not None and
                      int(self.states.accepted.min()) >= hc.s_eps_total(self.g.N))
-        return mass_mod.compute_mass(
-            self.g, hc.mass_type, self.obs.power,
-            nbin=self.conf.N_bin, likeli_force=force,
-            mass_factor=hc.mass_factor,
-            window=self.obs.window, noise=self.obs.noise,
-            kernel_h=kh(self.conf.model.forward, self.g),
-            burned_in=burned_in)
+        build = lambda P, w, n, f: mass_mod.compute_mass(
+            self.g, hc.mass_type, P, nbin=self.conf.N_bin, likeli_force=f,
+            mass_factor=hc.mass_factor, window=w, noise=n,
+            kernel_h=kh(self.conf.model.forward, self.g), burned_in=burned_in)
+        return jax.jit(build)(self.obs.power, self.obs.window, self.obs.noise,
+                              force if force is not None
+                              else jnp.zeros(self.g.shape))
 
     def _likelihood_force(self, signal):
         mc = self.conf.model
@@ -154,7 +169,7 @@ class Runner:
             from barcode_tpu.model import likelihoods
             return likelihoods.likelihood_psi(mc.likelihood, dx, self.obs)
 
-        return jax.grad(psi_like_only)(signal)
+        return jax.jit(jax.grad(psi_like_only))(signal)
 
     def current_signal(self, chain: int = 0):
         return self.states.delta[chain]
@@ -170,7 +185,7 @@ class Runner:
         bio.write_array(self.dir / "sigma", np.asarray(md.obs.noise))
         for name, field in [("specLAGtest", md.truth_lag), ("specEULtest", md.truth_eul),
                             ("spec_nobs", md.obs.nobs)]:
-            km, pw, _ = fourier.measure_spectrum(field, g, nb)
+            km, pw, _ = self._spec_jit(field)
             bio.dump_spectrum(self.dir / f"{name}.dat", km, pw)
             if name == "specLAGtest":
                 self._truth_spec = np.asarray(pw)
@@ -181,13 +196,12 @@ class Runner:
         s = self.current_signal(chain)
         mc = self.conf.model
         bio.write_array(self.dir / f"deltaLAG_{iteration}", np.asarray(s))
-        d_eul = lag2eul(s, self.g, dataclasses.replace(mc.forward, rsd=False),
-                        self.gp)
+        d_eul = self._lag2eul_jit(s)
         bio.write_array(self.dir / f"deltaEUL_{iteration}", np.asarray(d_eul))
         if mc.forward.rsd:
-            d_rss = lag2eul(s, self.g, mc.forward, self.gp)
+            d_rss = self._lag2eul_rsd_jit(s)
             bio.write_array(self.dir / f"deltaRSS_{iteration}", np.asarray(d_rss))
-        km, pw, _ = fourier.measure_spectrum(s, self.g, self.conf.N_bin)
+        km, pw, _ = self._spec_jit(s)
         bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
         if self._protocols is not None:
             acc = float(np.asarray(self.states.acc_flags[chain]).mean())

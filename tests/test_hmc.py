@@ -209,6 +209,23 @@ def test_posterior_recovery_wiener():
     assert corr > 0.95, corr
 
 
+def test_pooled_adaptation_shares_eps_across_chains():
+    """With pool_adaptation, all chains see the same pooled window, so their
+    eps_fac trajectories coincide once the controller fires."""
+    truth, obs = setup(key=5)
+    hc = HMCConfig(eps_fac=0.8, eps_fac_update_type=2, mass_type=1,
+                   N_a_eps_update=10, pool_adaptation=True)
+    init = sampler.make_init(G, MC, GP, hc)
+    keys = jax.random.split(jax.random.key(6), 4)
+    states = jax.vmap(lambda k: init(k, jnp.zeros(G.shape), obs))(keys)
+    mass = mass_mod.compute_mass(G, 1, obs.power)
+    run = sampler.make_sampler(G, MC, GP, hc, n_attempts_per_call=25)
+    states, stats = run(states, obs, mass)
+    eps = np.asarray(states.eps_fac)
+    np.testing.assert_allclose(eps, eps[0], rtol=1e-6)
+    assert not np.allclose(eps[0], 0.8)  # the controller actually fired
+
+
 def test_adapt_power_mean():
     np.testing.assert_allclose(float(adapt.power_mean(2.0, 8.0, 0)), 4.0)
     np.testing.assert_allclose(float(adapt.power_mean(2.0, 8.0, 2.0)),
