@@ -1,0 +1,226 @@
+"""Fully sharded forward model + posterior for grids that exceed one chip.
+
+Everything runs inside a single jax.shard_map region over a ('grid',) mesh:
+x-slab-sharded fields, slab-local FFT stages with all-to-all transposes
+(parallel/sharded_fft.py), slab-local particles, a halo-exchange deposit
+(ppermute ring), pmean/psum reductions for overdensity and energies.  The
+posterior gradient is jax.grad *through* the shard_map — every collective
+has a registered transpose, so the adjoint is sharded too.
+
+Halo contract: a particle's deposit support must stay within `halo` cells of
+its home slab in x:  halo >= max|Psi_x|/d + stencil reach.  For LCDM-like
+spectra max displacements are ~15-20 Mpc/h; at 256^3/200 the default
+halo=16 covers 25 Mpc/h.  Violations wrap into wrong cells (garbage in, no
+crash) — `suggest_halo` picks a safe value from the box.
+
+The reference has no counterpart: it is single-process and its largest
+feasible grid is bounded by one node's RAM (SURVEY.md §5.7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu.forward import assign
+from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, kernel_h
+from barcode_tpu.model import likelihoods
+from barcode_tpu.model.likelihoods import ObsData
+from barcode_tpu.parallel import sharded_fft as sf
+
+AXIS = "grid"
+
+
+def suggest_halo(g: GridSpec, sigma_psi: float = 6.0, nsigma: float = 4.0) -> int:
+    """Halo cells covering nsigma * sigma_psi of displacement + TSC reach."""
+    d1 = g.cell[0]
+    return int(np.ceil(nsigma * sigma_psi / d1)) + 2
+
+
+def _local_positions_x(g: GridSpec, n_dev: int, dev, dtype=jnp.float32):
+    """Slab-local Lagrangian cell-center positions (x uses global coords)."""
+    n1_loc = g.N1 // n_dev
+    d1, d2, d3 = g.cell
+    x = (dev * n1_loc + jnp.arange(n1_loc, dtype=dtype) + 0.5) * d1
+    y = (jnp.arange(g.N2, dtype=dtype) + 0.5) * d2
+    z = (jnp.arange(g.N3, dtype=dtype) + 0.5) * d3
+    return jnp.stack(jnp.meshgrid(x, y, z, indexing="ij"))
+
+
+def _halo_exchange_add(ext, halo: int, axis_name: str = AXIS):
+    """Fold the x-halos of an extended slab [H + n_loc + H, N2, N3] into the
+    neighbours' interiors via a cyclic ppermute ring; returns the interior."""
+    n_dev = jax.lax.axis_size(axis_name)
+    left_h = ext[:halo]          # belongs to the left neighbour's tail
+    right_h = ext[-halo:]        # belongs to the right neighbour's head
+    interior = ext[halo:-halo]
+    send_left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    send_right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    from_right = jax.lax.ppermute(left_h, axis_name, send_left)
+    from_left = jax.lax.ppermute(right_h, axis_name, send_right)
+    interior = interior.at[-halo:].add(from_right)
+    interior = interior.at[:halo].add(from_left)
+    return interior
+
+
+def _deposit_local(pos, g: GridSpec, fc: ForwardConfig, halo: int, n_dev: int, dev):
+    """TSC deposit of slab-local particles into an extended x buffer,
+    folded back via halo exchange.  'sph_ft' adds the W4 convolution on the
+    already-sharded field afterwards (spectral, so it commutes with the
+    exchange)."""
+    n1_loc = g.N1 // n_dev
+    d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
+    u = pos / d
+    # x: min-image offset from the slab start (particles stay within halo
+    # of their home slab by the halo contract)
+    slab_start = dev * n1_loc
+    bx_glob = jnp.floor(u[0])
+    off = bx_glob - slab_start
+    off = jnp.mod(off + g.N1 / 2.0, g.N1) - g.N1 / 2.0  # min-image
+    bx_ext = jnp.clip(off + halo, 0, n1_loc + 2 * halo - 1).astype(jnp.int32)
+    base_y = jnp.mod(jnp.floor(u[1]).astype(jnp.int32), g.N2)
+    base_z = jnp.mod(jnp.floor(u[2]).astype(jnp.int32), g.N3)
+    frac = jnp.stack([u[0] - bx_glob - 0.5,
+                      u[1] - jnp.floor(u[1]) - 0.5,
+                      u[2] - jnp.floor(u[2]) - 0.5])
+
+    n1_ext = n1_loc + 2 * halo
+    ws = assign._tsc_weights(frac)
+    flat_base = ((bx_ext * g.N2 + base_y) * g.N3 + base_z).reshape(-1)
+    vals = jnp.stack([w.reshape(-1) for w in ws], axis=-1)
+    ch = jnp.zeros((n1_ext * g.N2 * g.N3, len(assign._TSC_OFFSETS)),
+                   vals.dtype).at[flat_base].add(vals)
+    ext = 0.0
+    for k, o in enumerate(assign._TSC_OFFSETS):
+        # x rolls move within the extended buffer (no wrap needed thanks to
+        # the halo margin); y/z wrap periodically
+        ck = ch[:, k].reshape(n1_ext, g.N2, g.N3)
+        ck = jnp.roll(ck, (o[1], o[2]), axis=(1, 2))
+        zero = jnp.zeros_like(ck[:1])
+        if o[0] == 1:
+            ck = jnp.concatenate([zero, ck[:-1]], axis=0)
+        elif o[0] == -1:
+            ck = jnp.concatenate([ck[1:], zero], axis=0)
+        ext = ext + ck
+    return _halo_exchange_add(ext, halo)
+
+
+def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
+                     likelihood: int, mesh: Mesh, halo: int | None = None):
+    """psi(delta_slab, obs_slabs) -> scalar, fully sharded; and its grad.
+
+    delta and the obs fields are x-slab-sharded; obs.power must be provided
+    in the *sharded Fourier layout* (x full, ky-sharded — use
+    power_to_sharded_layout).  sfmodel=1 (Zel'dovich); masskernel 'tsc' or
+    'sph_ft'.
+    """
+    assert fc.sfmodel == 1, "sharded path implements Zel'dovich first"
+    n_dev = mesh.devices.size
+    halo = halo if halo is not None else suggest_halo(g)
+    assert halo <= g.N1 // n_dev, (
+        f"halo ({halo}) must not exceed the slab width ({g.N1 // n_dev}): "
+        "the ring exchange only reaches adjacent slabs")
+    h = kernel_h(fc, g)
+    x_spec = P(AXIS, None, None)
+    f_spec = P(None, AXIS, None)
+
+    def psi_local(delta, nobs, window, noise, power_f):
+        dev = jax.lax.axis_index(AXIS)
+        # --- displacement (sharded spectral pipeline) ---
+        F = sf._rfft3_local(-gp.D1 * delta, n_dev, AXIS)
+        kx, ky, kz = sf.kvec_sharded(g, n_dev, dev)
+        k2 = kx * kx + ky * ky + kz * kz
+        guard = k2 > 1e-14
+        inv_k2 = jnp.where(guard, 1.0 / jnp.where(guard, k2, 1.0), 0.0)
+        # Nyquist zeroing (odd derivative), by index on the sharded layout
+        n2_loc = g.N2 // n_dev
+        mx = jnp.where(jnp.arange(g.N1) == g.N1 // 2, 0.0, 1.0)[:, None, None]
+        my = jnp.where(dev * n2_loc + jnp.arange(n2_loc) == g.N2 // 2,
+                       0.0, 1.0)[None, :, None]
+        mz = jnp.where(jnp.arange(g.N3 // 2 + 1) == g.N3 // 2,
+                       0.0, 1.0)[None, None, :]
+        base = (-1j) * F * inv_k2 * (mx * my * mz)
+        psi_x = sf._irfft3_local(base * kx, n_dev, g.N3, AXIS)
+        psi_y = sf._irfft3_local(base * ky, n_dev, g.N3, AXIS)
+        psi_z = sf._irfft3_local(base * kz, n_dev, g.N3, AXIS)
+        psi = jnp.stack([psi_x, psi_y, psi_z])
+        # --- particles + optional RSD ---
+        pos = _local_positions_x(g, n_dev, dev, delta.dtype) + psi
+        L = jnp.asarray([g.L1, g.L2, g.L3], delta.dtype).reshape(3, 1, 1, 1)
+        pos = jnp.mod(pos, L)
+        if fc.rsd:
+            f1 = gp.cpecvel / (gp.hubble * gp.ascale)
+            pos = pos.at[2].set(jnp.mod(pos[2] + f1 * psi[2], g.L3))
+        # --- halo deposit ---
+        rho = _deposit_local(pos, g, fc, halo, n_dev, dev)
+        if fc.masskernel == "sph_ft":
+            W4 = _w4_sharded(g, n_dev, dev, h)
+            Fr = sf._rfft3_local(rho, n_dev, AXIS)
+            rho = sf._irfft3_local(W4 * Fr, n_dev, g.N3, AXIS)
+        # --- overdensity with global mean ---
+        mean = jax.lax.pmean(jnp.mean(rho), AXIS)
+        delta_x = rho / mean - 1.0
+        # --- likelihood + prior (global sums) ---
+        obs_loc = ObsData(nobs=nobs, window=window, noise=noise, power=0.0)
+        psi_like = likelihoods.likelihood_psi(likelihood, delta_x, obs_loc)
+        Fd = sf._rfft3_local(delta, n_dev, AXIS)
+        inv_p = jnp.where(power_f > 0, (g.vol / g.N) / jnp.where(power_f > 0, power_f, 1.0), 0.0)
+        Sinv_d = sf._irfft3_local(inv_p * Fd, n_dev, g.N3, AXIS)
+        psi_prior = 0.5 * jnp.sum(delta * Sinv_d)
+        return jax.lax.psum(psi_prior + psi_like, AXIS)
+
+    # check_vma=False: the fft transpose rule rejects varying-over-mesh-axis
+    # cotangent annotations (JAX 0.9), which blocks jax.grad through the
+    # sharded spectral pipeline otherwise
+    shmapped = jax.shard_map(
+        psi_local, mesh=mesh,
+        in_specs=(x_spec, x_spec, x_spec, x_spec, f_spec),
+        out_specs=P(), check_vma=False)
+
+    def psi_fn(delta, obs: ObsData):
+        return shmapped(delta, obs.nobs, obs.window, obs.noise, obs.power)
+
+    psi_jit = jax.jit(psi_fn)
+    grad_jit = jax.jit(jax.grad(psi_fn))
+    return psi_jit, grad_jit
+
+
+def _w4_sharded(g: GridSpec, n_dev: int, dev, h: float):
+    """Closed-form W4 transform on the sharded Fourier layout (f32-safe:
+    small-kappa Taylor limit instead of the cancelling closed form)."""
+    kx, ky, kz = sf.kvec_sharded(g, n_dev, dev)
+    kap = jnp.sqrt(kx * kx + ky * ky + kz * kz) * h
+    safe = jnp.where(kap > 1.0, kap, 2.0)
+    ksink = safe * jnp.sin(safe)
+    closed = 24.0 * (3.0 + jnp.cos(2 * safe) - ksink
+                     + jnp.cos(safe) * (ksink - 4.0)) / safe**6
+    # small-kappa expansion from the kernel moments I2n = int q^2n w(q) dq:
+    # W = 1 - (I4/I2) k^2/6 + (I6/I2) k^4/120 - (I8/I2) k^6/5040,
+    # I2 = 1/4, I4 = 0.225, I6 = 0.303571, I8 = 0.516667
+    # (accurate to ~1e-5 at kappa = 1, where the f32 closed form is safe)
+    k2 = kap * kap
+    taylor = 1.0 - 0.15 * k2 + 0.0101190 * k2 * k2 - 4.1005e-4 * k2 * k2 * k2
+    return jnp.where(kap > 1.0, closed, taylor)
+
+
+def power_to_sharded_layout(power_rfft_full, mesh: Mesh):
+    """Shard a full half-complex P(k) grid along its ky axis."""
+    return jax.device_put(power_rfft_full, NamedSharding(mesh, P(None, AXIS, None)))
+
+
+def shard_obs(obs: ObsData, mesh: Mesh):
+    """x-slab-shard the observation fields; power goes to the Fourier layout."""
+    xs = NamedSharding(mesh, P(AXIS, None, None))
+    return ObsData(
+        nobs=jax.device_put(obs.nobs, xs),
+        window=jax.device_put(obs.window, xs),
+        noise=jax.device_put(obs.noise, xs),
+        power=power_to_sharded_layout(obs.power, mesh),
+        rho_c=obs.rho_c, biasP=obs.biasP, biasE=obs.biasE,
+        delta_min=obs.delta_min,
+    )

@@ -1,0 +1,86 @@
+"""Fully sharded forward model + posterior vs the dense implementation
+(8-virtual-device CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu import random_fields as rf
+from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+from barcode_tpu.model import posterior
+from barcode_tpu.model.likelihoods import ObsData
+from barcode_tpu.parallel import sharded_forward as sfw
+
+G = GridSpec.cube(16, 160.0)
+GP = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85, hubble=100.0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    return Mesh(np.asarray(devs[:8]), axis_names=(sfw.AXIS,))
+
+
+def build_problem(key=0, mk="tsc", rsd=False):
+    P_ = jnp.full(G.rshape, 20.0).at[0, 0, 0].set(0.0)
+    truth = rf.grf(jax.random.key(key), G, P_)
+    fc = ForwardConfig(sfmodel=1, masskernel=mk, rsd=rsd)
+    d_eul = lag2eul(truth, G, fc, GP)
+    nobs = 1.0 + d_eul + 0.4 * jax.random.normal(jax.random.key(key + 1), G.shape)
+    obs = ObsData(nobs=nobs, window=jnp.ones(G.shape),
+                  noise=jnp.full(G.shape, 0.4), power=P_)
+    return truth, fc, obs
+
+
+@pytest.mark.parametrize("mk,rsd", [("tsc", False), ("sph_ft", False), ("tsc", True)])
+def test_sharded_psi_matches_dense(mesh, mk, rsd):
+    truth, fc, obs = build_problem(mk=mk, rsd=rsd)
+    mc = posterior.ModelConfig(likelihood=1, forward=fc)
+    dense_psi = posterior.make_psi(G, mc, GP, obs)
+    s = 0.5 * truth
+
+    psi_sh, grad_sh = sfw.make_sharded_psi(G, fc, GP, likelihood=1, mesh=mesh,
+                                           halo=2)
+    obs_sh = sfw.shard_obs(obs, mesh)
+    s_sh = jax.device_put(s, NamedSharding(mesh, P(sfw.AXIS, None, None)))
+
+    dense_val = float(dense_psi(s)[0])
+    sh_val = float(psi_sh(s_sh, obs_sh))
+    np.testing.assert_allclose(sh_val, dense_val, rtol=3e-4)
+
+
+def test_sharded_grad_matches_dense(mesh):
+    truth, fc, obs = build_problem(mk="tsc")
+    mc = posterior.ModelConfig(likelihood=1, forward=fc)
+    dense_grad = jax.grad(lambda d: posterior.make_psi(G, mc, GP, obs)(d)[0])
+    s = 0.5 * truth
+    psi_sh, grad_sh = sfw.make_sharded_psi(G, fc, GP, likelihood=1, mesh=mesh,
+                                           halo=2)
+    obs_sh = sfw.shard_obs(obs, mesh)
+    s_sh = jax.device_put(s, NamedSharding(mesh, P(sfw.AXIS, None, None)))
+    gd = np.asarray(dense_grad(s))
+    gs = np.asarray(grad_sh(s_sh, obs_sh))
+    np.testing.assert_allclose(gs, gd, atol=3e-3 * np.abs(gd).max())
+
+
+def test_w4_sharded_matches_host_kernel(mesh):
+    """The f32-safe sharded W4 (closed form + Taylor) equals the f64 host
+    precompute on the dense layout."""
+    from barcode_tpu.forward import assign
+
+    h = G.cell_avg
+    dense = np.asarray(assign.w4_fourier(G, h))
+
+    def local(_):
+        import jax as _j
+        dev = _j.lax.axis_index(sfw.AXIS)
+        return sfw._w4_sharded(G, 8, dev, h)
+
+    W = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P(sfw.AXIS),),
+                              out_specs=P(None, sfw.AXIS, None)))(
+        jnp.zeros(8))
+    np.testing.assert_allclose(np.asarray(W), dense, atol=2e-4)
