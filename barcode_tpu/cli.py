@@ -19,6 +19,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="barcode_tpu")
     p.add_argument("input_par", nargs="?", default="input.par",
                    help="parameter file (reference input.par format)")
+    p.add_argument("restart_iteration", nargs="?", type=int, default=None,
+                   help="restart marker (reference main.cc argv[1] semantics); "
+                        "any value implies --resume from the checkpoint")
     p.add_argument("--resume", action="store_true",
                    help="restore sampler state from checkpoint.npz")
     p.add_argument("--chains", type=int, default=None)
@@ -34,7 +37,7 @@ def main(argv=None):
         conf = RunConfig()
 
     runner = Runner(conf, out_dir=args.out).setup(n_chains=args.chains)
-    if args.resume:
+    if args.resume or args.restart_iteration is not None:
         runner.restore()
     try:
         runner.run(n_samples=args.samples)
