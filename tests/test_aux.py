@@ -83,3 +83,29 @@ def test_protocols_files(tmp_path):
     spec = (tmp_path / "spec_protocol.prt").read_text()
     assert "0.5" in spec  # ratio to truth
     assert (tmp_path / "restart.prt").read_text().strip() == "5"
+
+
+def test_debug_array_statistics():
+    from barcode_tpu.utils import debug
+
+    a = np.array([1.0, 2.0, np.nan, 4.0])
+    s = debug.array_statistics(a, "x")
+    assert s["n_nonfinite"] == 1
+    np.testing.assert_allclose(s["mean"], 7.0 / 3)
+
+
+def test_cli_parses_and_runs_tiny(tmp_path, monkeypatch):
+    """End-to-end CLI: default config overridden to a tiny grid via a
+    minimal input.par; runs a few samples and writes a checkpoint."""
+    par = tmp_path / "input.par"
+    par.write_text("\n".join([
+        "Nx = 8", "Lx = 8.", "seed = 3", "likelihood = 1", "sfmodel = 1",
+        "masskernel = 2", "mass_type = 1", "eps_fac = 0.3",
+        "eps_fac_update_type = 3", "N_Gibbs = 2", "random_test = true",
+        "sigma_min = 0.5", f"dir = {tmp_path}/out/",
+    ]))
+    from barcode_tpu.cli import main
+    rc = main([str(par), "--chains", "2", "--samples", "2"])
+    assert rc == 0
+    assert (tmp_path / "out" / "checkpoint.npz").exists()
+    assert (tmp_path / "out" / "performance_log.txt").exists()

@@ -254,6 +254,27 @@ def test_adapt_fires_only_on_cadence():
     assert e2 > 0.5  # fired upward
 
 
+def test_adapt_type1_power_mean_decay():
+    """Type-1: eps_fac moves toward the target by power-mean every
+    s_eps_total attempts (time_step.cpp:165-180)."""
+    hc = HMCConfig(eps_fac_update_type=1, eps_fac=0.01, eps_fac_initial=0.5,
+                   eps_fac_power=2.0)
+    s_tot = hc.s_eps_total(G.N)
+    eps = jnp.asarray(0.5)
+    # off-cadence: no change
+    e1 = float(adapt.update_eps_fac(eps, jnp.asarray(s_tot - 1), 0, True,
+                                    jnp.zeros(10, jnp.int32), jnp.full(10, 0.5),
+                                    hc, G.N))
+    np.testing.assert_allclose(e1, 0.5)
+    # on-cadence: power-mean toward the target 0.01
+    e2 = float(adapt.update_eps_fac(eps, jnp.asarray(s_tot), 0, True,
+                                    jnp.zeros(10, jnp.int32), jnp.full(10, 0.5),
+                                    hc, G.N))
+    expected = float(adapt.power_mean(0.5, 0.01, 2.0))
+    np.testing.assert_allclose(e2, expected, rtol=1e-6)
+    assert e2 < 0.5
+
+
 def test_adapt_type3_halves_before_first_accept():
     hc = HMCConfig(eps_fac_update_type=3, N_a_eps_update=10)
     eps_table = jnp.full(10, 2.0)
