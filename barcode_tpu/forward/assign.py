@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as _np
 
@@ -174,6 +175,57 @@ def tsc_gather(field, pos, g: GridSpec):
     interpolate_grid.cpp:134-202, with the wx[2]/wy[2] dz bug fixed)."""
     base, dx = _tsc_base_frac(pos, g)
     return _stencil_gather(field, base, _tsc_weights(dx), _TSC_OFFSETS, g)
+
+
+def _tsc_axis_dweight(dx, s, d):
+    """d/dpos of the per-axis TSC weight (1/d from dx = pos/d - ...)."""
+    if s == 0:
+        return -2.0 * dx / d
+    return -(1.5 - jnp.abs(dx - s)) * jnp.sign(dx - s) / d
+
+
+def tsc_weight_grad_gather(cot, pos, g: GridSpec):
+    """V_i(p) = sum_o d(w_o)/d(pos_i) * cot(base_p + o): the position-adjoint
+    of the TSC deposit (one rolled-stack gather per component)."""
+    base, dx = _tsc_base_frac(pos, g)
+    d = g.cell
+    outs = []
+    for i in range(3):
+        ws = []
+        for off in _TSC_OFFSETS:
+            w = 1.0
+            for a in range(3):
+                term = (_tsc_axis_dweight(dx[a], off[a], d[a]) if a == i
+                        else _tsc_axis_weight(dx[a], off[a]))
+                w = w * term
+            ws.append(w)
+        outs.append(_stencil_gather(cot, base, ws, _TSC_OFFSETS, g))
+    return jnp.stack(outs)
+
+
+def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
+                          interpret: bool = False):
+    """Unit-mass TSC deposit with the Pallas block kernel forward and the
+    XLA weight-grad gather backward (exact custom VJP).
+
+    Requires the halo contract |base - q| <= halo - 1 in x/y (see
+    forward/pallas_deposit.py); monitor pallas_deposit.deposit_violations.
+    """
+    from barcode_tpu.forward import pallas_deposit as _pd
+
+    @jax.custom_vjp
+    def dep(pos):
+        return _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block,
+                                      interpret=interpret)
+
+    def dep_fwd(pos):
+        return dep(pos), pos
+
+    def dep_bwd(pos, cot):
+        return (tsc_weight_grad_gather(cot, pos, g),)
+
+    dep.defvjp(dep_fwd, dep_bwd)
+    return dep
 
 
 # ---------------------------------------------------------------------------

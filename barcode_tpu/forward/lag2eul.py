@@ -30,6 +30,8 @@ class ForwardConfig:
     periodic: bool = True
     slength: float = 4.0      # ALPT long/short split scale [Mpc/h]
     kernel_h_rel: float = 1.0  # SPH kernel scale in mean-cell units
+    pallas_deposit: bool = False  # Pallas block-kernel TSC deposit (tsc/sph_ft)
+    pallas_halo: int = 8      # halo contract: max |displacement| in cells + 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,7 +60,15 @@ def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
         vel_z = gp.cpecvel * psi[2]
         pos = particles.rsd_plane_parallel(pos, vel_z, g, gp.ascale, gp.hubble,
                                            fc.periodic)
-    rho = assign.deposit(pos, g, fc.masskernel, kernel_h(fc, g))
+    mk = {0: "ngp", 1: "cic", 2: "tsc", 3: "sph"}.get(fc.masskernel, fc.masskernel)
+    if fc.pallas_deposit and mk in ("tsc", "sph_ft"):
+        dep = assign.make_tsc_deposit_fast(g, halo=fc.pallas_halo)
+        rho = dep(pos)
+        if mk == "sph_ft":
+            from barcode_tpu.grid import fourier as _f
+            rho = _f.irfft3(assign.w4_fourier(g, kernel_h(fc, g)) * _f.rfft3(rho), g)
+    else:
+        rho = assign.deposit(pos, g, fc.masskernel, kernel_h(fc, g))
     delta_eul = assign.overdens(rho)
     if return_pos:
         return delta_eul, pos

@@ -1,0 +1,167 @@
+"""Pallas TPU deposit kernel: bin-free block accumulation on the MXU.
+
+Replaces the XLA scatter-add in the TSC deposit, whose ~50M rows/s row rate
+is the sampler's bottleneck (PLAN.md).  Key idea: with displacements bounded
+by `halo` cells, the particles that can touch an output xy-block form a
+DENSE window of the Lagrangian particle grid — no sorting or binning.  Each
+program reads its (overlapping, Element-indexed) window, builds masked
+one-hot weight matrices, and contracts them on the MXU:
+
+    acc[BX*BY, N3] += A^T[BX*BY, T] @ B[T, N3]
+
+where, for a tile of T particles (one x-row of the window),
+    A[t, xy] = sum_{ox,oy} wx_ox(t) wy_oy(t) [xy == local_target(t,ox,oy)]
+    B[t, z]  = sum_{oz}    wz_oz(t)          [z  == (bz(t)+oz) mod N3]
+
+Particles whose target falls outside the block are masked automatically
+(their one-hot never matches), so window overlap never double-counts.  The
+periodic x/y wrap is absorbed into the Phase-A padding, which shifts the
+wrapped copies' cell indices by ±N so the kernel needs no modulo in x/y.
+
+Halo contract (cf. parallel/sharded_forward): |base - q| <= halo - 1 cells
+per x/y axis.  `deposit_violations` counts breaches (breached particles
+lose their contribution instead of corrupting memory).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax._src.pallas.core import Element
+
+from barcode_tpu.grid.spec import GridSpec
+
+
+def _phase_a(pos, g: GridSpec, halo: int):
+    """Per-particle base cells (x/y adjusted-padded, z raw) and fracs,
+    stacked as one (6, N1+2H, N2+2H, N3) float32 array."""
+    d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
+    u = pos / d
+    base = jnp.floor(u)
+    frac = (u - base - 0.5).astype(jnp.float32)
+    # x/y base cells in *unwrapped* coordinates relative to the particle's
+    # Lagrangian cell (q + min-image offset): a particle that wrapped across
+    # the box boundary keeps a base near its own row (possibly negative or
+    # >= N), which is what the kernel's local-target arithmetic — and the
+    # +-N pad adjustment below — require.
+    qx = jnp.arange(g.N1, dtype=pos.dtype)[:, None, None]
+    qy = jnp.arange(g.N2, dtype=pos.dtype)[None, :, None]
+
+    def unwrap(b, q, n):
+        off = jnp.mod(b - q + n / 2.0, n) - n / 2.0
+        return (q + off).astype(jnp.float32)
+
+    bx = unwrap(base[0], qx, g.N1)
+    by = unwrap(base[1], qy, g.N2)
+    bz = jnp.mod(base[2], g.N3).astype(jnp.float32)
+
+    stack = jnp.stack([bx, by, bz, frac[0], frac[1], frac[2]])
+
+    # wrapped copies carry adjusted base coords (+-N) so the kernel's
+    # local-target arithmetic needs no modulo in x/y
+    adj_x = jnp.asarray([g.N1, 0, 0, 0, 0, 0], jnp.float32).reshape(6, 1, 1, 1)
+    stack = jnp.concatenate(
+        [stack[:, -halo:] - adj_x, stack, stack[:, :halo] + adj_x], axis=1)
+    adj_y = jnp.asarray([0, g.N2, 0, 0, 0, 0], jnp.float32).reshape(6, 1, 1, 1)
+    stack = jnp.concatenate(
+        [stack[:, :, -halo:] - adj_y, stack, stack[:, :, :halo] + adj_y], axis=2)
+    return stack
+
+
+def deposit_violations(pos, g: GridSpec, halo: int):
+    """Number of particles whose deposit support breaks the halo contract."""
+    d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
+    base = jnp.floor(pos / d)
+    q = jnp.stack(jnp.meshgrid(jnp.arange(g.N1), jnp.arange(g.N2),
+                               jnp.arange(g.N3), indexing="ij")).astype(pos.dtype)
+    off = base - q
+    L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
+    off = jnp.mod(off + L / 2, L) - L / 2  # min-image
+    return jnp.sum((jnp.abs(off[:2]) > halo - 1).any(axis=0))
+
+
+def _tsc_w(dx, s):
+    if s == 0:
+        return 0.75 - dx * dx
+    return 0.5 * (1.5 - jnp.abs(dx - s)) ** 2
+
+
+def _make_kernel(BX, BY, N3, WX, WY):
+    nxy = BX * BY
+    T = WY * N3  # particles per x-row tile of the window
+
+    def body(p_ref, out_ref):
+        I = pl.program_id(0)
+        J = pl.program_id(1)
+        x0 = I * BX
+        y0 = J * BY
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, nxy), 1)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N3), 1)
+
+        def row_body(r, acc):
+            bx = p_ref[0, r].reshape(T)
+            by = p_ref[1, r].reshape(T)
+            bz = p_ref[2, r].reshape(T)
+            fx = p_ref[3, r].reshape(T)
+            fy = p_ref[4, r].reshape(T)
+            fz = p_ref[5, r].reshape(T)
+            tx = bx.astype(jnp.int32) - x0
+            ty = by.astype(jnp.int32) - y0
+            tzi = bz.astype(jnp.int32)
+
+            A = jnp.zeros((T, nxy), jnp.float32)
+            for ox in (-1, 0, 1):
+                wx = _tsc_w(fx, ox)
+                txo = tx + ox
+                for oy in (-1, 0, 1):
+                    tyo = ty + oy
+                    w = (wx * _tsc_w(fy, oy))[:, None]
+                    t = (txo * BY + tyo)[:, None]
+                    inside = ((txo >= 0) & (txo < BX) & (tyo >= 0) &
+                              (tyo < BY))[:, None]
+                    A = A + jnp.where(inside & (col_ids == t), w, 0.0)
+
+            B = jnp.zeros((T, N3), jnp.float32)
+            for oz in (-1, 0, 1):
+                w = _tsc_w(fz, oz)[:, None]
+                t = (tzi + oz)[:, None]
+                t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
+                B = B + jnp.where(z_ids == t, w, 0.0)
+
+            return acc + jax.lax.dot_general(
+                A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, WX, row_body,
+                                jnp.zeros((nxy, N3), jnp.float32))
+        out_ref[...] = acc.reshape(BX, BY, N3)
+
+    return body
+
+
+def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
+                       interpret: bool = False):
+    """TSC deposit via the Pallas block kernel.
+
+    Requires |base - q| <= halo - 1 cells in x and y per particle (check
+    with `deposit_violations`); breached particles are dropped.
+    """
+    BX, BY = block
+    assert g.N1 % BX == 0 and g.N2 % BY == 0
+    WX, WY = BX + 2 * halo, BY + 2 * halo
+    part = _phase_a(pos, g, halo)  # (6, N1+2H, N2+2H, N3)
+
+    grid = (g.N1 // BX, g.N2 // BY)
+    in_spec = pl.BlockSpec(
+        (6, Element(WX), Element(WY), g.N3),
+        index_map=lambda i, j: (0, i * BX, j * BY, 0),
+    )
+    return pl.pallas_call(
+        _make_kernel(BX, BY, g.N3, WX, WY),
+        out_shape=jax.ShapeDtypeStruct(g.shape, jnp.float32),
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=pl.BlockSpec((BX, BY, g.N3), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(part)
