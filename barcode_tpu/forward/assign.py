@@ -204,9 +204,10 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
 
 
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
-                          interpret: bool = False):
-    """Unit-mass TSC deposit with the Pallas block kernel forward and the
-    XLA weight-grad gather backward (exact custom VJP).
+                          interpret: bool = False, pallas_bwd: bool = True):
+    """Unit-mass TSC deposit: Pallas block-kernel forward with an exact
+    custom VJP — the backward is the windowed Pallas gather kernel
+    (pallas_bwd=True) or the XLA weight-grad gather.
 
     Requires the halo contract |base - q| <= halo - 1 in x/y (see
     forward/pallas_deposit.py); monitor pallas_deposit.deposit_violations.
@@ -222,6 +223,10 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
         return dep(pos), pos
 
     def dep_bwd(pos, cot):
+        if pallas_bwd:
+            out = _pd.tsc_gather_grads_pallas(cot, pos, g, halo=halo,
+                                              block=block, interpret=interpret)
+            return (out[1:],)
         return (tsc_weight_grad_gather(cot, pos, g),)
 
     dep.defvjp(dep_fwd, dep_bwd)

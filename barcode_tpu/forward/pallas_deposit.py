@@ -140,6 +140,122 @@ def _make_kernel(BX, BY, N3, WX, WY):
     return body
 
 
+def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
+    """Program owns a (BX, BY) block of *particles*; reads the (WX, WY, N3)
+    field window around it; emits (4, BX, BY, N3):
+        [0] value gather  sum_o w_o field(base+o)           (interpolate_TSC)
+        [1..3] d/dpos_i   sum_o dw_o/dpos_i field(base+o)   (deposit adjoint)
+    """
+    T = BY * N3
+    WXY = WX * WY
+
+    def body(p_ref, f_ref, out_ref):
+        I = pl.program_id(0)
+        J = pl.program_id(1)
+        # window origin in unwrapped cell coords
+        wx0 = I * BX - halo
+        wy0 = J * BY - halo
+
+        win = f_ref[...].reshape(WXY, N3)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, WXY), 1)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N3), 1)
+
+        def row_body(r, _):
+            bx = p_ref[0, r].reshape(T)
+            by = p_ref[1, r].reshape(T)
+            bz = p_ref[2, r].reshape(T)
+            fx = p_ref[3, r].reshape(T)
+            fy = p_ref[4, r].reshape(T)
+            fz = p_ref[5, r].reshape(T)
+            tx = bx.astype(jnp.int32) - wx0   # in [1, WX-2] by the contract
+            ty = by.astype(jnp.int32) - wy0
+            tzi = bz.astype(jnp.int32)
+
+            A_val = jnp.zeros((T, WXY), jnp.float32)
+            A_dx = jnp.zeros((T, WXY), jnp.float32)
+            A_dy = jnp.zeros((T, WXY), jnp.float32)
+            for ox in (-1, 0, 1):
+                wxo = _tsc_w(fx, ox)
+                dwxo = _tsc_dw(fx, ox)
+                txo = tx + ox
+                for oy in (-1, 0, 1):
+                    tyo = ty + oy
+                    wyo = _tsc_w(fy, oy)
+                    dwyo = _tsc_dw(fy, oy)
+                    t = (txo * WY + tyo)[:, None]
+                    hit = col_ids == t
+                    A_val = A_val + jnp.where(hit, (wxo * wyo)[:, None], 0.0)
+                    A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[:, None], 0.0)
+                    A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[:, None], 0.0)
+
+            B_val = jnp.zeros((T, N3), jnp.float32)
+            B_dz = jnp.zeros((T, N3), jnp.float32)
+            for oz in (-1, 0, 1):
+                t = (tzi + oz)[:, None]
+                t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
+                hit = z_ids == t
+                B_val = B_val + jnp.where(hit, _tsc_w(fz, oz)[:, None], 0.0)
+                B_dz = B_dz + jnp.where(hit, _tsc_dw(fz, oz)[:, None], 0.0)
+
+            dot = lambda A: jax.lax.dot_general(
+                A, win, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            M_val = dot(A_val)   # [T, N3]
+            M_dx = dot(A_dx)
+            M_dy = dot(A_dy)
+
+            out_ref[0, r] = (M_val * B_val).sum(-1).reshape(BY, N3)
+            out_ref[1, r] = (M_dx * B_val).sum(-1).reshape(BY, N3)
+            out_ref[2, r] = (M_dy * B_val).sum(-1).reshape(BY, N3)
+            out_ref[3, r] = (M_val * B_dz).sum(-1).reshape(BY, N3)
+            return 0
+
+        jax.lax.fori_loop(0, BX, row_body, 0)
+
+    return body
+
+
+def _tsc_dw(dx, s):
+    """d/d(dx) of the per-axis TSC weight (cell units; callers divide by d)."""
+    if s == 0:
+        return -2.0 * dx
+    return -(1.5 - jnp.abs(dx - s)) * jnp.sign(dx - s)
+
+
+def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
+                            block: tuple = (8, 8), interpret: bool = False):
+    """(value, dV/dx, dV/dy, dV/dz) gathers at particle positions via the
+    windowed block kernel; shape (4,) + grid.  Gradients are per *physical*
+    position (divided by the cell size)."""
+    BX, BY = block
+    assert g.N1 % BX == 0 and g.N2 % BY == 0
+    WX, WY = BX + 2 * halo, BY + 2 * halo
+    part = _phase_a(pos, g, halo)
+    # field window needs no coordinate adjustment — plain wrap padding
+    fpad = jnp.concatenate([field[-halo:], field, field[:halo]], axis=0)
+    fpad = jnp.concatenate([fpad[:, -halo:], fpad, fpad[:, :halo]], axis=1)
+
+    # the particle data here is the *unpadded* center block: slice the padded
+    # stack back (cheaper than recomputing)
+    part_c = part[:, halo:-halo, halo:-halo]
+
+    grid = (g.N1 // BX, g.N2 // BY)
+    out = pl.pallas_call(
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo),
+        out_shape=jax.ShapeDtypeStruct((4,) + g.shape, jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, BX, BY, g.N3), lambda i, j: (0, i, j, 0)),
+            pl.BlockSpec((Element(WX), Element(WY), g.N3),
+                         index_map=lambda i, j: (i * BX, j * BY, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, BX, BY, g.N3), lambda i, j: (0, i, j, 0)),
+        interpret=interpret,
+    )(part_c, fpad)
+    d = jnp.asarray(g.cell, jnp.float32).reshape(3, 1, 1, 1)
+    return out.at[1:].divide(d)
+
+
 def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
                        interpret: bool = False):
     """TSC deposit via the Pallas block kernel.

@@ -83,3 +83,24 @@ def test_violations_counter():
     pos = particles.wrap(pos, G)
     assert int(pd.deposit_violations(pos, G, 3)) == 1
     assert int(pd.deposit_violations(pos, G, 8)) == 0
+
+
+def test_gather_grads_kernel_matches_xla():
+    pos, _ = displaced_positions(key=7)
+    field = jax.random.normal(jax.random.key(8), G.shape)
+    out = pd.tsc_gather_grads_pallas(field, pos, G, halo=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               np.asarray(assign.tsc_gather(field, pos, G)),
+                               atol=2e-6)
+    ref = np.asarray(assign.tsc_weight_grad_gather(field, pos, G))
+    np.testing.assert_allclose(np.asarray(out[1:]), ref, atol=2e-7)
+
+
+def test_fast_deposit_pallas_backward():
+    pos, _ = displaced_positions(key=9)
+    cot_seed = jax.random.normal(jax.random.key(10), G.shape)
+    dep = assign.make_tsc_deposit_fast(G, halo=4, interpret=True, pallas_bwd=True)
+    g_fast = np.asarray(jax.grad(lambda p: jnp.sum(dep(p) * cot_seed))(pos))
+    g_ref = np.asarray(jax.grad(
+        lambda p: jnp.sum(assign.tsc_deposit(p, G) * cot_seed))(pos))
+    np.testing.assert_allclose(g_fast, g_ref, atol=3e-5 * np.abs(g_ref).max())
