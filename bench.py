@@ -28,6 +28,10 @@ N_GRID = int(os.environ.get("BENCH_N", 128))
 BOX = 200.0
 N_EPS = 8          # fixed leapfrog steps per attempt for exact step counting
 N_ATTEMPTS = 8     # timed attempts per measurement
+# Pallas deposit path: BENCH_PALLAS=1 [BENCH_HALO=n] [BENCH_BLOCK=bx]
+PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+HALO = int(os.environ.get("BENCH_HALO", 0))
+BLOCK = int(os.environ.get("BENCH_BLOCK", 8))
 CPU_BASELINE_FILE = Path(__file__).parent / "bench_cpu_baseline.json"
 
 
@@ -45,7 +49,9 @@ def build_step(n_grid: int):
 
     g = GridSpec.cube(n_grid, BOX)
     gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85, hubble=100.0)
-    fc = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0)
+    halo = HALO or max(4, int(4 * 6.0 / g.cell[0]) + 2)  # 4 sigma_psi + reach
+    fc = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0,
+                       pallas_deposit=PALLAS, pallas_halo=halo)
     mc = ModelConfig(likelihood=1, forward=fc)
     hc = HMCConfig(eps_fac=1e-4, eps_fac_update_type=0, mass_type=1,
                    N_eps_fac=N_EPS, N_a_eps_update=32)
@@ -107,6 +113,7 @@ def cpu_baseline(n_grid: int) -> float:
 import os, json, time
 os.environ["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
 os.environ["OMP_NUM_THREADS"] = "1"
+os.environ["BENCH_PALLAS"] = "0"  # CPU baseline always uses the XLA deposit
 import jax
 jax.config.update("jax_platforms", "cpu")
 import sys; sys.path.insert(0, {str(Path(__file__).parent)!r})
@@ -132,8 +139,9 @@ def main():
         sps, dt = measure_steps_per_s(N_GRID)
         base = cpu_baseline(N_GRID)
         vs = sps / base if base == base and base > 0 else None
+        tag = "_pallas" if PALLAS else ""
         print(json.dumps({
-            "metric": f"leapfrog_steps_per_s_{N_GRID}cube_alpt_rsd_gauss",
+            "metric": f"leapfrog_steps_per_s_{N_GRID}cube_alpt_rsd_gauss{tag}",
             "value": round(sps, 3),
             "unit": "steps/s/chip",
             "vs_baseline": round(vs, 2) if vs is not None else None,
