@@ -150,6 +150,9 @@ class RunConfig:
             periodic=_get(p, "periodic", bool, True),
             slength=_get(p, "slength", float, 4.0),
             kernel_h_rel=_get(p, "particle_kernel_h_rel", float, 1.0),
+            # extension keys (absent from reference input.par files)
+            pallas_deposit=_get(p, "pallas_deposit", bool, False),
+            pallas_halo=_get(p, "pallas_halo", int, 8),
         )
         model = ModelConfig(
             likelihood=_get(p, "likelihood", int, 1),

@@ -135,6 +135,18 @@ print(json.dumps({{"steps_per_s": sps}}))
 
 def main():
     sys.path.insert(0, str(Path(__file__).parent))
+    # watchdog: a wedged TPU relay (single-tenant; see CLAUDE.md) must not
+    # hang the caller — emit the error line and die instead
+    import signal
+
+    def _alarm(signum, frame):
+        print(json.dumps({"metric": "bench_error", "value": 0,
+                          "unit": "watchdog timeout (TPU relay unresponsive)",
+                          "vs_baseline": None}), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "3000")))
     try:
         sps, dt = measure_steps_per_s(N_GRID)
         base = cpu_baseline(N_GRID)
