@@ -229,6 +229,7 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     position (divided by the cell size)."""
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
+    halo = -(-halo // 4) * 4  # Mosaic: WY must divide by 8 (see deposit)
     WX, WY = BX + 2 * halo, BY + 2 * halo
     part = _phase_a(pos, g, halo)
     # field window needs no coordinate adjustment — plain wrap padding
@@ -246,7 +247,7 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, BX, BY, g.N3), lambda i, j: (0, i, j, 0)),
-            pl.BlockSpec((Element(WX), Element(WY), g.N3),
+            pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
                          index_map=lambda i, j: (i * BX, j * BY, 0)),
         ],
         out_specs=pl.BlockSpec((4, BX, BY, g.N3), lambda i, j: (0, i, j, 0)),
@@ -265,12 +266,16 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     """
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
+    # Mosaic requires the second-to-last block dim (WY) to divide by 8:
+    # with BY a multiple of 8, round the halo up to a multiple of 4
+    halo = -(-halo // 4) * 4
     WX, WY = BX + 2 * halo, BY + 2 * halo
     part = _phase_a(pos, g, halo)  # (6, N1+2H, N2+2H, N3)
 
     grid = (g.N1 // BX, g.N2 // BY)
+    # Mosaic: all dims must be Element when any is
     in_spec = pl.BlockSpec(
-        (6, Element(WX), Element(WY), g.N3),
+        (Element(6), Element(WX), Element(WY), Element(g.N3)),
         index_map=lambda i, j: (0, i * BX, j * BY, 0),
     )
     return pl.pallas_call(
