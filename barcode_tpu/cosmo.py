@@ -119,3 +119,22 @@ def hubble_a(c: Cosmology, a: float | None = None) -> float:
     if a is None:
         a = c.ascale
     return float(100.0 * e_hubble_a(c, a))
+
+
+C_LIGHT_KMS = 299792.458
+
+
+def calc_dcom(c: Cosmology, a: float | None = None) -> float:
+    """Comoving distance to scale factor a in Mpc/h.
+
+    Parity: calc_dcom, cosmo.cc:85-122 (GSL qng of 1/E(z') from 0 to z,
+    times c/H0) — numpy quadrature, h-units (H0 = 100 h km/s/Mpc).
+    """
+    if a is None:
+        a = c.ascale
+    z = 1.0 / a - 1.0
+    if z <= 0:
+        return 0.0
+    zp = np.linspace(0.0, z, 20001)
+    E = np.sqrt(c.omega_m * (1 + zp) ** 3 + c.omega_k * (1 + zp) ** 2 + c.omega_q)
+    return float(np.trapezoid(1.0 / E, zp) * C_LIGHT_KMS / 100.0)

@@ -31,6 +31,9 @@ def main(argv=None):
         _grid_arg(sp)
         sp.add_argument("--nbin", type=int, default=200)
         sp.add_argument("--out", default=None)
+        sp.add_argument("--fft-upsample", type=int, default=1,
+                        help="band-limited zero-pad upsampling factor before "
+                             "measuring (2D_corr_fct_interp's FFT mode)")
 
     sp = sub.add_parser("lag2eul", help="delta_lag grid -> delta_eul (LAG2EULer)")
     _grid_arg(sp)
@@ -76,6 +79,9 @@ def run_tool(args):
     if tool in ("powspec", "corr_fct", "2D_powspec", "2D_corr_fct"):
         g = GridSpec.cube(args.N, args.L)
         x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
+        if getattr(args, "fft_upsample", 1) > 1:
+            x = jax.jit(lambda x: fourier.fft_upsample(x, g, args.fft_upsample))(x)
+            g = GridSpec.cube(args.N * args.fft_upsample, args.L)
         out = args.out or f"{args.fname_in}_{tool}"
         if tool == "powspec":
             km, pw, _ = jax.jit(lambda x: fourier.measure_spectrum(x, g, args.nbin))(x)

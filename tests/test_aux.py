@@ -109,3 +109,28 @@ def test_cli_parses_and_runs_tiny(tmp_path, monkeypatch):
     assert rc == 0
     assert (tmp_path / "out" / "checkpoint.npz").exists()
     assert (tmp_path / "out" / "performance_log.txt").exists()
+
+
+def test_calc_dcom():
+    from barcode_tpu import cosmo
+
+    c = cosmo.preset("wmap7_max", z=0.0)
+    assert cosmo.calc_dcom(c) == 0.0
+    c1 = cosmo.preset("wmap7_max", z=1.0)
+    d = cosmo.calc_dcom(c1)
+    # LCDM z=1 comoving distance ~ 2300-2400 Mpc/h for Om~0.27
+    assert 2200 < d < 2500, d
+
+
+def test_tools_fft_upsample_flag(tmp_path):
+    import jax
+    from barcode_tpu import io as bio
+    from barcode_tpu.tools.__main__ import main
+
+    x = np.asarray(jax.random.normal(jax.random.key(11), G.shape))
+    fname = tmp_path / "grid"
+    bio.write_array(fname, x)
+    assert main(["corr_fct", str(fname), "16", "160.0", "--nbin", "16",
+                 "--fft-upsample", "2"]) == 0
+    r, corr = np.loadtxt(str(fname) + "_corr_fct.dat", unpack=True)
+    assert np.isfinite(corr).all()
