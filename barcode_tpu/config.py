@@ -118,6 +118,7 @@ class RunConfig:
     outnum_ps: int = 10
     dir: str = "./output/"
     fnamePS: str = ""
+    readPS: bool = True                # false -> internal EH98 P(k) (cosmo.linear_power)
     initial_guess: int = 0             # 0 zero / 2 GRF / 3 smoothed GRF / 4 noise
     initial_guess_smoothing_scale: float = 20.0
     initial_guess_smoothing_type: int = 1
@@ -203,6 +204,7 @@ class RunConfig:
             outnum_ps=_get(p, "outnum_ps", int, 10),
             dir=_get(p, "dir", str, "./"),
             fnamePS=_get(p, "fnamePS", str, ""),
+            readPS=_get(p, "readPS", bool, True),
             initial_guess=_get(p, "initial_guess", int, 0),
             initial_guess_smoothing_scale=_get(p, "initial_guess_smoothing_scale", float, 20.0),
             initial_guess_smoothing_type=_get(p, "initial_guess_smoothing_type", int, 1),

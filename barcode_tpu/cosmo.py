@@ -121,6 +121,56 @@ def hubble_a(c: Cosmology, a: float | None = None) -> float:
     return float(100.0 * e_hubble_a(c, a))
 
 
+def eh_transfer_nowiggle(c: Cosmology, k: np.ndarray) -> np.ndarray:
+    """Eisenstein & Hu (1998) zero-baryon ("no-wiggle") transfer function.
+
+    k in h/Mpc.  This is the internal power-spectrum path the reference
+    stubs out ("computing power-spectrum from fitting formulae!",
+    /root/reference/barcode/main.cc:176-177 — commented out, so barcode can
+    only ever read a CAMB table); implemented here so readPS=false works.
+    """
+    k = np.asarray(k, np.float64)
+    om_h2 = c.omega_m * c.h**2
+    ob_h2 = c.omega_b * c.h**2
+    theta = 2.728 / 2.7                      # T_CMB / 2.7 K
+    fb = c.omega_b / c.omega_m
+    # sound horizon (EH98 eq. 26) and shape-parameter suppression (eq. 31)
+    s = 44.5 * np.log(9.83 / om_h2) / np.sqrt(1.0 + 10.0 * ob_h2**0.75)  # Mpc
+    alpha = (1.0 - 0.328 * np.log(431.0 * om_h2) * fb
+             + 0.38 * np.log(22.3 * om_h2) * fb**2)
+    ks = k * c.h * s                          # k s in Mpc^-1 * Mpc
+    gamma_eff = c.omega_m * c.h * (alpha + (1.0 - alpha) / (1.0 + (0.43 * ks)**4))
+    q = k * theta**2 / gamma_eff              # eq. 28 with Gamma_eff
+    L0 = np.log(2.0 * np.e + 1.8 * q)
+    C0 = 14.2 + 731.0 / (1.0 + 62.5 * q)
+    return L0 / (L0 + C0 * q * q)
+
+
+def sigma_r(c: Cosmology, k: np.ndarray, P: np.ndarray, R: float = 8.0) -> float:
+    """RMS top-hat fluctuation: sigma^2(R) = 1/(2 pi^2) int k^2 P W^2(kR) dk
+    (log-grid trapezoid; W = 3 (sin x - x cos x)/x^3)."""
+    x = k * R
+    x = np.where(x > 1e-6, x, 1e-6)
+    W = 3.0 * (np.sin(x) - x * np.cos(x)) / x**3
+    integrand = k**3 * P * W * W / (2.0 * np.pi**2)   # d ln k measure
+    return float(np.sqrt(np.trapezoid(integrand, np.log(k))))
+
+
+def linear_power(c: Cosmology, k: np.ndarray) -> np.ndarray:
+    """Linear matter power spectrum P(k) = A k^ns T^2(k) at z=0, normalized
+    so that sigma(8 Mpc/h) = c.sigma8.  Units (Mpc/h)^3, k in h/Mpc.
+
+    Growth to the run redshift is NOT applied here: like the reference's
+    readtab grid (calc_power.cc:31-108), P feeds the prior/GRF at z=0 and
+    the forward model carries D1.
+    """
+    k = np.asarray(k, np.float64)
+    kn = np.logspace(-4, 2.5, 1024)
+    Pn = kn**c.n_s * eh_transfer_nowiggle(c, kn) ** 2
+    A = (c.sigma8 / sigma_r(c, kn, Pn)) ** 2
+    return A * k**c.n_s * eh_transfer_nowiggle(c, k) ** 2
+
+
 C_LIGHT_KMS = 299792.458
 
 

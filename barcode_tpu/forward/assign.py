@@ -57,16 +57,27 @@ def _stencil_deposit(base, channel_weights, offsets, g: GridSpec):
     return out
 
 
-def _stencil_gather(field, base, channel_weights, offsets, g: GridSpec):
-    """Mirror of _stencil_deposit: out(q) = sum_o w_o(q) field(base_q + o)."""
+def _stencil_gather_multi(field, base, weight_sets, offsets, g: GridSpec):
+    """K-offset gather shared across M weight sets: the rolled stack is built
+    and gathered ONCE, then contracted with each weight set — row count /M
+    versus M separate gathers (the gather row rate is the TPU bottleneck,
+    see PLAN.md)."""
     flat_base = ((base[0] * g.N2 + base[1]) * g.N3 + base[2]).reshape(-1)
     rolled = jnp.stack(
         [jnp.roll(field, shift=tuple(-o for o in off), axis=(0, 1, 2)).reshape(-1)
          for off in offsets], axis=-1)  # [N, K]
     picked = rolled[flat_base]  # [n_particles, K]
-    w = jnp.stack([w.reshape(-1) for w in channel_weights], axis=-1)
-    # particle layout need not match the grid (e.g. upsampled gathers)
-    return jnp.sum(picked * w, axis=-1).reshape(base.shape[1:])
+    outs = []
+    for channel_weights in weight_sets:
+        w = jnp.stack([w.reshape(-1) for w in channel_weights], axis=-1)
+        # particle layout need not match the grid (e.g. upsampled gathers)
+        outs.append(jnp.sum(picked * w, axis=-1).reshape(base.shape[1:]))
+    return outs
+
+
+def _stencil_gather(field, base, channel_weights, offsets, g: GridSpec):
+    """Mirror of _stencil_deposit: out(q) = sum_o w_o(q) field(base_q + o)."""
+    return _stencil_gather_multi(field, base, [channel_weights], offsets, g)[0]
 
 
 def _wrap_base(base, g: GridSpec):
@@ -186,10 +197,11 @@ def _tsc_axis_dweight(dx, s, d):
 
 def tsc_weight_grad_gather(cot, pos, g: GridSpec):
     """V_i(p) = sum_o d(w_o)/d(pos_i) * cot(base_p + o): the position-adjoint
-    of the TSC deposit (one rolled-stack gather per component)."""
+    of the TSC deposit.  The 27-offset rolled stack is gathered once and
+    contracted with the three derivative weight sets (one gather, not three)."""
     base, dx = _tsc_base_frac(pos, g)
     d = g.cell
-    outs = []
+    weight_sets = []
     for i in range(3):
         ws = []
         for off in _TSC_OFFSETS:
@@ -199,8 +211,8 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
                         else _tsc_axis_weight(dx[a], off[a]))
                 w = w * term
             ws.append(w)
-        outs.append(_stencil_gather(cot, base, ws, _TSC_OFFSETS, g))
-    return jnp.stack(outs)
+        weight_sets.append(ws)
+    return jnp.stack(_stencil_gather_multi(cot, base, weight_sets, _TSC_OFFSETS, g))
 
 
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),

@@ -48,7 +48,7 @@ def _tsc_weight_grad_gather(field, pos, g: GridSpec):
             return -2.0 * dx[a] / d[a, 0, 0, 0]
         return -(1.5 - jnp.abs(dx[a] - s)) * jnp.sign(dx[a] - s) / d[a, 0, 0, 0]
 
-    outs = []
+    weight_sets = []
     for i in range(3):
         ws = []
         for off in assign._TSC_OFFSETS:
@@ -57,8 +57,9 @@ def _tsc_weight_grad_gather(field, pos, g: GridSpec):
                 term = axis_dw(a, off[a]) if a == i else axis_w(a, off[a])
                 w = w * term
             ws.append(w)
-        outs.append(assign._stencil_gather(field, base, ws, assign._TSC_OFFSETS, g))
-    return jnp.stack(outs)
+        weight_sets.append(ws)
+    return jnp.stack(assign._stencil_gather_multi(
+        field, base, weight_sets, assign._TSC_OFFSETS, g))
 
 
 def grad_log_like_analytic(delta_lag, g: GridSpec, fc: ForwardConfig,

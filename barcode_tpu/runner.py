@@ -78,14 +78,18 @@ class Runner:
     # -- setup ------------------------------------------------------------
 
     def load_power(self):
-        if self.conf.fnamePS:
+        """readtab equivalent (calc_power.cc:31-108): CAMB table -> rfft
+        grid; with readPS=false, the internal EH98 fitting-formula P(k)
+        (the path the reference stubs out at main.cc:169-177)."""
+        if self.conf.readPS and self.conf.fnamePS:
             k_t, p_t = bio.read_powspec_table(self.conf.fnamePS)
-            return fourier.power_table_to_rfft_grid(k_t, p_t, self.g)
-        # fallback: a simple CDM-like shape so self-contained runs work
-        kk = jnp.sqrt(fourier.k_squared(self.g))
-        keq = 0.02
-        P = 1e4 * (kk / keq) / (1.0 + (kk / keq) ** 2) ** 1.5
-        return P.at[0, 0, 0].set(0.0)
+        else:
+            from barcode_tpu import cosmo as cosmo_mod
+            c = self.conf.cosmo()
+            k_t = np.logspace(-4, 2, 1024)
+            p_t = cosmo_mod.linear_power(c, k_t)
+        return fourier.power_table_to_rfft_grid(
+            jnp.asarray(k_t, jnp.float32), jnp.asarray(p_t, jnp.float32), self.g)
 
     def setup(self, n_chains: int | None = None):
         conf = self.conf
@@ -226,13 +230,24 @@ class Runner:
 
     def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
             log: bool = True, progress_every: int = 10,
-            nan_check: bool = False):
+            nan_check: bool = False, rhat_stop: float | None = None,
+            dashboard: bool | None = None):
         """Sample until every chain has >= n_samples accepted samples (the
         reference's N_Gibbs), dumping chain-0 fields every `outnum` samples.
 
         nan_check=True aborts on non-finite sampler state (the reference's
-        NAN_DETECTION FPE trap, main.cc:46-78)."""
-        from barcode_tpu.utils.metrics import SamplerMetrics, check_finite
+        NAN_DETECTION FPE trap, main.cc:46-78).
+
+        rhat_stop: if set, also stop once the split Gelman-Rubin R-hat of the
+        per-chain psi traces (second half, warmup discarded) drops below this
+        threshold with every chain holding at least one accepted sample — a
+        convergence criterion the single-chain reference cannot express.
+
+        dashboard: live ANSI candidate table (the ncurses UI equivalent,
+        utils/dashboard.py); None = auto-enable on a TTY."""
+        from barcode_tpu.utils.dashboard import Dashboard
+        from barcode_tpu.utils.metrics import (SamplerMetrics, check_finite,
+                                               split_rhat)
 
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
@@ -241,6 +256,10 @@ class Runner:
         next_dump = 1
         attempts_done = 0
         self.metrics = SamplerMetrics()
+        self._psi_trace: list[np.ndarray] = []
+        dash = Dashboard(title=f"barcode_tpu  N={self.g.N1}  "
+                         f"L={self.g.L1:g}", force=dashboard)
+        rhat = float("inf")
         while attempts_done < max_attempts:
             if (self.dir / "fastexit").exists():
                 print("fastexit sentinel found — stopping cleanly")
@@ -248,6 +267,7 @@ class Runner:
             self.states, stats = self._run(self.states, self.obs, self.mass)
             attempts_done += self.attempt_batch
             self.metrics.update(stats)
+            self._psi_trace.append(np.asarray(self.states.psi))
             if nan_check:
                 check_finite(self.states, f"after attempt {attempts_done}")
             if log:
@@ -257,26 +277,42 @@ class Runner:
                 self.dump_sample(next_dump)
                 next_dump += 1 if next_dump < 10 else max(1, conf.outnum)
             min_acc = int(self.states.accepted.min())
-            if log and attempts_done % (self.attempt_batch * progress_every) == 0:
+            if dash.enabled:
+                dash.update(stats, self.states, self.metrics.summary(),
+                            extra=f"rhat={rhat:.3f}" if np.isfinite(rhat) else "")
+            elif log and attempts_done % (self.attempt_batch * progress_every) == 0:
                 print(self.metrics.status_line(
                     f"acc_min={min_acc} eps_fac={float(self.states.eps_fac.mean()):.4g}"))
             if min_acc >= n_samples:
                 break
+            if rhat_stop is not None and len(self._psi_trace) >= 8 and min_acc >= 1:
+                trace = np.stack(self._psi_trace, axis=1)  # [chains, draws]
+                rhat = split_rhat(trace[:, trace.shape[1] // 2:])
+                if rhat < rhat_stop:
+                    if log:
+                        print(f"converged: split R-hat {rhat:.4f} < {rhat_stop}"
+                              f" after {attempts_done} attempts")
+                    break
             if conf.hmc.total_steps_lim and attempts_done >= conf.hmc.total_steps_lim:
                 raise RuntimeError("ABORTING: total steps exceeds total_steps_lim "
                                    "(HMC.cc:533-535)")
         return self.states
 
     def diagnostics(self) -> dict:
-        """End-of-run diagnostics: throughput metrics + cross-chain R-hat on
-        per-chain psi traces (the convergence view the single-chain reference
-        cannot produce)."""
+        """End-of-run diagnostics: throughput metrics + cross-chain split
+        R-hat on the per-chain psi traces (warmup half discarded) — the
+        convergence view the single-chain reference cannot produce."""
+        from barcode_tpu.utils.metrics import split_rhat
+
         out = dict(self.metrics.summary()) if hasattr(self, "metrics") else {}
         if self.states is not None:
             out["acc_rate_recent"] = float(
                 np.asarray(self.states.acc_flags).mean())
             out["eps_fac"] = np.asarray(self.states.eps_fac).tolist()
             out["accepted_per_chain"] = np.asarray(self.states.accepted).tolist()
+        if getattr(self, "_psi_trace", None) and len(self._psi_trace) >= 4:
+            trace = np.stack(self._psi_trace, axis=1)
+            out["rhat_psi"] = split_rhat(trace[:, trace.shape[1] // 2:])
         return out
 
     # -- checkpoint / resume ----------------------------------------------

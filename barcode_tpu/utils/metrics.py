@@ -38,6 +38,30 @@ def effective_sample_size(x: np.ndarray, max_lag: int | None = None) -> float:
     return float(n / tau)
 
 
+def split_rhat(traces: np.ndarray) -> float:
+    """Split Gelman-Rubin R-hat over per-chain scalar traces [n_chains,
+    n_draws] (Gelman+13 / Vehtari+21 split form).  The cross-chain
+    convergence diagnostic the single-chain reference cannot produce
+    (SURVEY.md §5.8 lists it as a TPU-native addition); R-hat -> 1 at
+    convergence, values > ~1.01-1.1 mean the chains have not mixed."""
+    x = np.asarray(traces, np.float64)
+    if x.ndim != 2:
+        raise ValueError("traces must be [n_chains, n_draws]")
+    m, n = x.shape
+    half = n // 2
+    if half < 2:
+        return float("inf")
+    x = np.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+    n = half
+    chain_means = x.mean(axis=1)
+    B = n * np.var(chain_means, ddof=1)          # between-chain
+    W = float(np.mean(np.var(x, axis=1, ddof=1)))  # within-chain
+    if W == 0.0:
+        return 1.0 if B == 0.0 else float("inf")
+    var_plus = (n - 1.0) / n * W + B / n
+    return float(np.sqrt(var_plus / W))
+
+
 @dataclasses.dataclass
 class SamplerMetrics:
     """Rolling throughput/quality metrics for a sampling run."""

@@ -134,3 +134,65 @@ def test_tools_fft_upsample_flag(tmp_path):
                  "--fft-upsample", "2"]) == 0
     r, corr = np.loadtxt(str(fname) + "_corr_fct.dat", unpack=True)
     assert np.isfinite(corr).all()
+
+
+def test_split_rhat_converged_vs_not():
+    rng = np.random.default_rng(0)
+    same = rng.normal(size=(8, 400))
+    r_same = metrics.split_rhat(same)
+    assert abs(r_same - 1.0) < 0.05
+    # chains stuck at different levels: R-hat far from 1
+    apart = same + np.arange(8)[:, None] * 5.0
+    assert metrics.split_rhat(apart) > 1.5
+    # too short -> inf, constant chains -> 1
+    assert metrics.split_rhat(np.zeros((4, 2))) == float("inf")
+    assert metrics.split_rhat(np.ones((4, 100))) == 1.0
+
+
+def test_dashboard_renders_to_stream():
+    import io as _io
+    from barcode_tpu.hmc.state import AttemptStats
+    from barcode_tpu.utils.dashboard import Dashboard
+
+    n_att, n_ch = 3, 2
+    arr = lambda v: np.full((n_att, n_ch), v, np.float32)
+    stats = AttemptStats(
+        accepted=arr(1).astype(bool), epsilon=arr(0.1),
+        Neps=arr(4).astype(np.int32), dH=arr(0.2), dK=arr(0.1), dE=arr(0.1),
+        psi_prior_i=arr(0), psi_prior_f=arr(0), psi_likeli_i=arr(0),
+        psi_likeli_f=arr(0), H_kin_i=arr(0), H_kin_f=arr(0),
+        eps_fac=arr(0.5), acc_rate_recent=arr(0.6))
+
+    class FakeStates:
+        eps_fac = np.full(n_ch, 0.5)
+        accepted = np.array([3, 4])
+
+    buf = _io.StringIO()
+    dash = Dashboard(stream=buf, force=True)
+    summary = {"attempts": 3, "accepted": 3, "acc_rate": 1.0,
+               "leapfrog_steps_per_s": 12.0, "elapsed_s": 1.0}
+    dash.update(stats, FakeStates(), summary)
+    dash.update(stats, FakeStates(), summary)  # second draw rewinds cursor
+    text = buf.getvalue()
+    assert "barcode_tpu" in text and "P(a)" in text and "\x1b[" in text
+    # inert off-TTY
+    buf2 = _io.StringIO()
+    d2 = Dashboard(stream=buf2)
+    d2.update(stats, FakeStates(), summary)
+    assert buf2.getvalue() == ""
+
+
+def test_eh98_power_spectrum():
+    from barcode_tpu import cosmo as cosmo_mod
+
+    c = cosmo_mod.preset("wmap7_max")
+    k = np.logspace(-4, 2, 512)
+    T = cosmo_mod.eh_transfer_nowiggle(c, k)
+    assert abs(T[0] - 1.0) < 1e-3          # T -> 1 at large scales
+    assert np.all(np.diff(T) <= 1e-12)     # monotone suppression
+    P = cosmo_mod.linear_power(c, k)
+    kn = np.logspace(-4, 2.5, 2048)
+    s8 = cosmo_mod.sigma_r(c, kn, cosmo_mod.linear_power(c, kn))
+    assert abs(s8 - c.sigma8) < 1e-3       # sigma8 normalization holds
+    # turnover near k_eq ~ 0.01-0.1 h/Mpc
+    assert 1e-3 < k[np.argmax(P)] < 0.2

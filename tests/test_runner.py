@@ -82,3 +82,24 @@ def test_poisson_mock_counts(tmp_path):
     assert np.allclose(nobs, np.round(nobs))  # integer counts
     states = r.run(n_samples=1, max_attempts=200, log=False)
     assert int(states.accepted.min()) >= 1
+
+
+def test_rhat_stop_and_diagnostics(tmp_path):
+    conf = small_conf(tmp_path, n_chains=4)
+    r = Runner(conf).setup()
+    # loose threshold: 8^3 Gaussian chains mix quickly, so this exercises the
+    # convergence-stop path without a long run
+    states = r.run(n_samples=10**6, max_attempts=4096, log=False, rhat_stop=1.5)
+    d = r.diagnostics()
+    assert "rhat_psi" in d and np.isfinite(d["rhat_psi"])
+    assert d["rhat_psi"] < 1.5
+    assert int(states.accepted.min()) >= 1
+
+
+def test_internal_eh98_power_path(tmp_path):
+    conf = dataclasses.replace(small_conf(tmp_path), readPS=False)
+    r = Runner(conf).setup()
+    states = r.run(n_samples=1, max_attempts=200, log=False)
+    assert int(states.accepted.min()) >= 1
+    P = np.asarray(jax.jit(r.load_power)())
+    assert P.shape == (8, 8, 5) and P[0, 0, 0] == 0.0 and (P >= 0).all()
