@@ -30,6 +30,8 @@ class ForwardConfig:
     periodic: bool = True
     slength: float = 4.0      # ALPT long/short split scale [Mpc/h]
     kernel_h_rel: float = 1.0  # SPH kernel scale in mean-cell units
+    deriv_scheme: str = "fft"  # 2LPT source derivatives: 'fft' (GFFT) or
+                               # 'findif' (GFINDIFF 4th-order stencil)
     pallas_deposit: bool = False  # Pallas block-kernel TSC deposit (tsc/sph_ft)
     pallas_halo: int = 8      # halo contract: max |displacement| in cells + 1
 
@@ -53,7 +55,8 @@ def kernel_h(fc: ForwardConfig, g: GridSpec) -> float:
 def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
             return_pos: bool = False):
     """delta_lag -> (delta_eul [, pos]) with unit-mass regular-grid particles."""
-    psi = lpt.lpt_psi(delta_lag, g, fc.sfmodel, gp.D1, gp.D2, fc.slength)
+    psi = lpt.lpt_psi(delta_lag, g, fc.sfmodel, gp.D1, gp.D2, fc.slength,
+                      deriv_scheme=fc.deriv_scheme)
     pos = particles.displace(psi, g)
     if fc.rsd:
         # v = c_pecvel * Psi (Zel'dovich-only velocities, Lag2Eul.cc:375-381)

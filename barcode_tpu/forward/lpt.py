@@ -63,18 +63,31 @@ def zeldovich_psi(delta1, g: GridSpec, D1: float):
     return _psi_from_div_C(fourier.rfft3(-D1 * delta1), g)
 
 
-def _second_order_source(delta_C, g: GridSpec):
+def _second_order_source(delta_C, g: GridSpec, deriv_scheme: str = "fft"):
     """m2v = sum_{i<j} (phi,ii phi,jj - phi,ij^2) with lap phi = delta.
 
-    Spectral second derivatives: phi,ij = IFFT[ (k_i k_j / k^2) delta_k ]
-    (phi_k = -delta_k/k^2; d_i d_j multiplies by -k_i k_j).
-    Parity: calc_m2v_mem + calc_LapPhiv (EqSolvers.cc:29-64, 373-422), GFFT
-    derivative scheme.  m2v is quadratic in phi, so it is independent of the
-    sign convention of phi.
+    deriv_scheme='fft' (the reference's GFFT build): spectral second
+    derivatives phi,ij = IFFT[ (k_i k_j / k^2) delta_k ] (phi_k =
+    -delta_k/k^2; d_i d_j multiplies by -k_i k_j).
+    deriv_scheme='findif' (the GFINDIFF build): nested 4th-order
+    finite-difference gradients of the Poisson solution.
+    Parity: calc_m2v_mem + calc_LapPhiv (EqSolvers.cc:29-64, 373-422,
+    scheme switch at :399-412).  m2v is quadratic in phi, so it is
+    independent of the sign convention of phi.
     """
     kx, ky, kz = fourier.kvec(g)
     k2 = kx * kx + ky * ky + kz * kz
     inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+
+    if deriv_scheme == "findif":
+        phi = fourier.irfft3(-delta_C * inv_k2, g)
+        grads = [fourier.gradfindif(phi, g, a) for a in range(3)]
+        p = {(a, b): fourier.gradfindif(grads[a], g, b)
+             for a in range(3) for b in range(a, 3)}
+        return (p[0, 0] * p[1, 1] - p[0, 1] ** 2
+                + p[0, 0] * p[2, 2] - p[0, 2] ** 2
+                + p[1, 1] * p[2, 2] - p[1, 2] ** 2)
+
     base = delta_C * inv_k2
 
     def dd(ka, kb):
@@ -89,14 +102,17 @@ def _second_order_source(delta_C, g: GridSpec):
     return pxx * pyy - pxy * pxy + pxx * pzz - pxz * pxz + pyy * pzz - pyz * pyz
 
 
-def two_lpt_div_psi(delta1, g: GridSpec, D1: float, D2: float):
+def two_lpt_div_psi(delta1, g: GridSpec, D1: float, D2: float,
+                    deriv_scheme: str = "fft"):
     """div Psi_2LPT = -D1 delta1 + D2 m2v (D2 < 0)."""
-    m2v = _second_order_source(fourier.rfft3(delta1), g)
+    m2v = _second_order_source(fourier.rfft3(delta1), g, deriv_scheme)
     return -D1 * delta1 + D2 * m2v
 
 
-def two_lpt_psi(delta1, g: GridSpec, D1: float, D2: float):
-    return _psi_from_div_C(fourier.rfft3(two_lpt_div_psi(delta1, g, D1, D2)), g)
+def two_lpt_psi(delta1, g: GridSpec, D1: float, D2: float,
+                deriv_scheme: str = "fft"):
+    return _psi_from_div_C(
+        fourier.rfft3(two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme)), g)
 
 
 def spherical_collapse_div_psi(delta1, g: GridSpec, D1: float):
@@ -115,7 +131,7 @@ def cellbound(v):
 
 
 def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
-             apply_cellbound: bool = True):
+             apply_cellbound: bool = True, deriv_scheme: str = "fft"):
     """ALPT: Gaussian long/short-range split at scale `slength`:
     div = K o div_2LPT + (1 - K) o div_SC, then one displacement solve.
 
@@ -125,7 +141,7 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
     also applies cellboundcomp to each component (Lag2Eul.cc:290,300,311);
     kept for parity via `apply_cellbound`.
     """
-    div_2lpt = two_lpt_div_psi(delta1, g, D1, D2)
+    div_2lpt = two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme)
     div_sc = spherical_collapse_div_psi(delta1, g, D1)
     K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
     div_C = K * fourier.rfft3(div_2lpt) + (1.0 - K) * fourier.rfft3(div_sc)
@@ -135,12 +151,13 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
     return psi
 
 
-def lpt_psi(delta1, g: GridSpec, sfmodel: int, D1: float, D2: float, slength: float):
+def lpt_psi(delta1, g: GridSpec, sfmodel: int, D1: float, D2: float,
+            slength: float, deriv_scheme: str = "fft"):
     """Dispatch like Lag2Eul (Lag2Eul.cc:318-332). sfmodel is static."""
     if sfmodel == 1:
         return zeldovich_psi(delta1, g, D1)
     if sfmodel == 2:
-        return two_lpt_psi(delta1, g, D1, D2)
+        return two_lpt_psi(delta1, g, D1, D2, deriv_scheme)
     if sfmodel == 3:
-        return alpt_psi(delta1, g, D1, D2, slength)
+        return alpt_psi(delta1, g, D1, D2, slength, deriv_scheme=deriv_scheme)
     raise ValueError(f"unknown sfmodel {sfmodel}")

@@ -91,13 +91,19 @@ def _make_kernel(BX, BY, N3, WX, WY):
     T = WY * N3  # particles per x-row tile of the window
 
     def body(p_ref, out_ref):
+        # p_ref block is (6, WX, WY*N3): the (y, z) axes are pre-flattened by
+        # the caller because Mosaic cannot lower a sublane+lane merging
+        # reshape like (WY, N3) -> (WY*N3,) inside the kernel
         I = pl.program_id(0)
         J = pl.program_id(1)
         x0 = I * BX
         y0 = J * BY
 
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, nxy), 1)
-        z_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N3), 1)
+        # one-hots are built TRANSPOSED (targets on sublanes, particles on
+        # lanes): a (T,) lane vector broadcasts to (n, T) for free, whereas
+        # (T,) -> (T, 1) is a lane->sublane relayout Mosaic refuses to lower
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (nxy, T), 0)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, T), 0)
 
         def row_body(r, acc):
             bx = p_ref[0, r].reshape(T)
@@ -110,27 +116,29 @@ def _make_kernel(BX, BY, N3, WX, WY):
             ty = by.astype(jnp.int32) - y0
             tzi = bz.astype(jnp.int32)
 
-            A = jnp.zeros((T, nxy), jnp.float32)
+            AT = jnp.zeros((nxy, T), jnp.float32)
             for ox in (-1, 0, 1):
                 wx = _tsc_w(fx, ox)
                 txo = tx + ox
                 for oy in (-1, 0, 1):
                     tyo = ty + oy
-                    w = (wx * _tsc_w(fy, oy))[:, None]
-                    t = (txo * BY + tyo)[:, None]
+                    w = wx * _tsc_w(fy, oy)
                     inside = ((txo >= 0) & (txo < BX) & (tyo >= 0) &
-                              (tyo < BY))[:, None]
-                    A = A + jnp.where(inside & (col_ids == t), w, 0.0)
+                              (tyo < BY))
+                    # -1 sentinel never matches a col id (no bool relayout)
+                    t = jnp.where(inside, txo * BY + tyo, -1)
+                    AT = AT + jnp.where(col_ids == t[None, :], w[None, :], 0.0)
 
-            B = jnp.zeros((T, N3), jnp.float32)
+            BT = jnp.zeros((N3, T), jnp.float32)
             for oz in (-1, 0, 1):
-                w = _tsc_w(fz, oz)[:, None]
-                t = (tzi + oz)[:, None]
+                w = _tsc_w(fz, oz)
+                t = tzi + oz
                 t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
-                B = B + jnp.where(z_ids == t, w, 0.0)
+                BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
 
+            # acc[xy, z] += sum_t AT[xy, t] BT[z, t]  (the Q K^T MXU pattern)
             return acc + jax.lax.dot_general(
-                A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+                AT, BT, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         acc = jax.lax.fori_loop(0, WX, row_body,
@@ -150,6 +158,9 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
     WXY = WX * WY
 
     def body(p_ref, f_ref, out_ref):
+        # p_ref and out_ref have (y, z) pre-flattened (Mosaic reshape limits,
+        # see _make_kernel); f_ref stays 3-D — its (WX, WY, N3) -> (WXY, N3)
+        # reshape merges leading dims only, which Mosaic lowers fine
         I = pl.program_id(0)
         J = pl.program_id(1)
         # window origin in unwrapped cell coords
@@ -157,8 +168,9 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
         wy0 = J * BY - halo
 
         win = f_ref[...].reshape(WXY, N3)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, WXY), 1)
-        z_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N3), 1)
+        # transposed one-hots: see _make_kernel for the Mosaic layout rule
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WXY, T), 0)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, T), 0)
 
         def row_body(r, _):
             bx = p_ref[0, r].reshape(T)
@@ -171,9 +183,9 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
             ty = by.astype(jnp.int32) - wy0
             tzi = bz.astype(jnp.int32)
 
-            A_val = jnp.zeros((T, WXY), jnp.float32)
-            A_dx = jnp.zeros((T, WXY), jnp.float32)
-            A_dy = jnp.zeros((T, WXY), jnp.float32)
+            A_val = jnp.zeros((WXY, T), jnp.float32)
+            A_dx = jnp.zeros((WXY, T), jnp.float32)
+            A_dy = jnp.zeros((WXY, T), jnp.float32)
             for ox in (-1, 0, 1):
                 wxo = _tsc_w(fx, ox)
                 dwxo = _tsc_dw(fx, ox)
@@ -182,32 +194,32 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
                     tyo = ty + oy
                     wyo = _tsc_w(fy, oy)
                     dwyo = _tsc_dw(fy, oy)
-                    t = (txo * WY + tyo)[:, None]
-                    hit = col_ids == t
-                    A_val = A_val + jnp.where(hit, (wxo * wyo)[:, None], 0.0)
-                    A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[:, None], 0.0)
-                    A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[:, None], 0.0)
+                    hit = col_ids == (txo * WY + tyo)[None, :]
+                    A_val = A_val + jnp.where(hit, (wxo * wyo)[None, :], 0.0)
+                    A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[None, :], 0.0)
+                    A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[None, :], 0.0)
 
-            B_val = jnp.zeros((T, N3), jnp.float32)
-            B_dz = jnp.zeros((T, N3), jnp.float32)
+            B_val = jnp.zeros((N3, T), jnp.float32)
+            B_dz = jnp.zeros((N3, T), jnp.float32)
             for oz in (-1, 0, 1):
-                t = (tzi + oz)[:, None]
+                t = tzi + oz
                 t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
-                hit = z_ids == t
-                B_val = B_val + jnp.where(hit, _tsc_w(fz, oz)[:, None], 0.0)
-                B_dz = B_dz + jnp.where(hit, _tsc_dw(fz, oz)[:, None], 0.0)
+                hit = z_ids == t[None, :]
+                B_val = B_val + jnp.where(hit, _tsc_w(fz, oz)[None, :], 0.0)
+                B_dz = B_dz + jnp.where(hit, _tsc_dw(fz, oz)[None, :], 0.0)
 
+            # MT[z, t] = sum_c win[c, z] A[c, t]  (transposed-lhs contraction)
             dot = lambda A: jax.lax.dot_general(
-                A, win, dimension_numbers=(((1,), (0,)), ((), ())),
+                win, A, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            M_val = dot(A_val)   # [T, N3]
-            M_dx = dot(A_dx)
-            M_dy = dot(A_dy)
+            MT_val = dot(A_val)   # [N3, T]
+            MT_dx = dot(A_dx)
+            MT_dy = dot(A_dy)
 
-            out_ref[0, r] = (M_val * B_val).sum(-1).reshape(BY, N3)
-            out_ref[1, r] = (M_dx * B_val).sum(-1).reshape(BY, N3)
-            out_ref[2, r] = (M_dy * B_val).sum(-1).reshape(BY, N3)
-            out_ref[3, r] = (M_val * B_dz).sum(-1).reshape(BY, N3)
+            out_ref[0, r] = (MT_val * B_val).sum(0)
+            out_ref[1, r] = (MT_dx * B_val).sum(0)
+            out_ref[2, r] = (MT_dy * B_val).sum(0)
+            out_ref[3, r] = (MT_val * B_dz).sum(0)
             return 0
 
         jax.lax.fori_loop(0, BX, row_body, 0)
@@ -237,22 +249,24 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     fpad = jnp.concatenate([fpad[:, -halo:], fpad, fpad[:, :halo]], axis=1)
 
     # the particle data here is the *unpadded* center block: slice the padded
-    # stack back (cheaper than recomputing)
-    part_c = part[:, halo:-halo, halo:-halo]
+    # stack back (cheaper than recomputing), then flatten (y, z) — Mosaic
+    # cannot merge sublane+lane inside the kernel (see _make_kernel)
+    part_c = part[:, halo:-halo, halo:-halo].reshape(6, g.N1, g.N2 * g.N3)
 
     grid = (g.N1 // BX, g.N2 // BY)
     out = pl.pallas_call(
         _make_gather_kernel(BX, BY, g.N3, WX, WY, halo),
-        out_shape=jax.ShapeDtypeStruct((4,) + g.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, g.N1, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, BX, BY, g.N3), lambda i, j: (0, i, j, 0)),
+            pl.BlockSpec((6, BX, BY * g.N3), lambda i, j: (0, i, j)),
             pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
                          index_map=lambda i, j: (i * BX, j * BY, 0)),
         ],
-        out_specs=pl.BlockSpec((4, BX, BY, g.N3), lambda i, j: (0, i, j, 0)),
+        out_specs=pl.BlockSpec((4, BX, BY * g.N3), lambda i, j: (0, i, j)),
         interpret=interpret,
     )(part_c, fpad)
+    out = out.reshape((4,) + g.shape)
     d = jnp.asarray(g.cell, jnp.float32).reshape(3, 1, 1, 1)
     return out.at[1:].divide(d)
 
@@ -271,12 +285,15 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     halo = -(-halo // 4) * 4
     WX, WY = BX + 2 * halo, BY + 2 * halo
     part = _phase_a(pos, g, halo)  # (6, N1+2H, N2+2H, N3)
+    # flatten (y, z) so the kernel's per-row tiles are 1-D without any
+    # Mosaic-unsupported sublane+lane merge inside the kernel
+    part = part.reshape(6, part.shape[1], -1)
 
     grid = (g.N1 // BX, g.N2 // BY)
     # Mosaic: all dims must be Element when any is
     in_spec = pl.BlockSpec(
-        (Element(6), Element(WX), Element(WY), Element(g.N3)),
-        index_map=lambda i, j: (0, i * BX, j * BY, 0),
+        (Element(6), Element(WX), Element(WY * g.N3)),
+        index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
     )
     return pl.pallas_call(
         _make_kernel(BX, BY, g.N3, WX, WY),

@@ -81,6 +81,19 @@ def gradfft(x, g: GridSpec, axis: int):
     return irfft3(X, g)
 
 
+def gradfindif(x, g: GridSpec, axis: int):
+    """4th-order central finite-difference gradient with periodic wrap:
+    f' = [ (4/3)(f_{+1} - f_{-1}) - (1/6)(f_{+2} - f_{-2}) ] / (2 d).
+
+    Parity: gradfindif, /root/reference/barlib/src/gradient.cpp:81-155
+    (the GFINDIFF alternative to the spectral gradient, selectable for the
+    2LPT source term, EqSolvers.cc:399-412).  Periodic wrap via jnp.roll.
+    """
+    d = (g.L1 / g.N1, g.L2 / g.N2, g.L3 / g.N3)[axis]
+    r = lambda s: jnp.roll(x, shift=-s, axis=axis)  # f(x + s)
+    return ((4.0 / 3.0) * (r(1) - r(-1)) - (1.0 / 6.0) * (r(2) - r(-2))) / (2.0 * d)
+
+
 def grad_inv_lap_C(X, g: GridSpec, axis: int):
     """Multiply a half-complex field by -i*k_axis/k^2, Nyquist zeroed.
 

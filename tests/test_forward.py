@@ -192,3 +192,34 @@ def test_sph_ft_close_to_sph():
     db = lag2eul(delta, G, fc_b, GP)
     corr = np.corrcoef(np.asarray(da).ravel(), np.asarray(db).ravel())[0, 1]
     assert corr > 0.9, corr
+
+
+def test_gradfindif_fourth_order_and_2lpt_scheme():
+    """gradfindif (gradient.cpp:81-155) matches the analytic derivative of a
+    smooth mode to 4th order, and the GFINDIFF 2LPT source stays close to
+    the spectral one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from barcode_tpu.grid.spec import GridSpec
+    from barcode_tpu.grid import fourier
+    from barcode_tpu.forward import lpt
+
+    g = GridSpec.cube(32, 64.0)
+    x = jnp.arange(g.N1) * g.cell[0]
+    kx = 2 * jnp.pi / g.L1  # fundamental: smooth, tiny truncation error
+    f = jnp.sin(kx * x)[:, None, None] * jnp.ones(g.shape)
+    df = jax.jit(lambda a: fourier.gradfindif(a, g, 0))(f)
+    exact = kx * jnp.cos(kx * x)[:, None, None] * jnp.ones(g.shape)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(exact),
+                               atol=2e-4 * float(kx))
+
+    key = jax.random.key(0)
+    delta = jax.jit(lambda k: 0.05 * jax.random.normal(k, g.shape))(key)
+    psi_fft = jax.jit(lambda d: lpt.two_lpt_psi(d, g, 1.0, -3.0 / 7.0))(delta)
+    psi_fd = jax.jit(lambda d: lpt.two_lpt_psi(d, g, 1.0, -3.0 / 7.0,
+                                               deriv_scheme="findif"))(delta)
+    # schemes agree on the smooth part; findif is a consistent discretization
+    num = float(jnp.sqrt(jnp.mean((psi_fft - psi_fd) ** 2)))
+    den = float(jnp.sqrt(jnp.mean(psi_fft ** 2)))
+    assert num / den < 0.05
