@@ -216,15 +216,21 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
 
 
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
-                          interpret: bool = False, pallas_bwd: bool = True):
+                          interpret: bool | None = None, pallas_bwd: bool = True):
     """Unit-mass TSC deposit: Pallas block-kernel forward with an exact
     custom VJP — the backward is the windowed Pallas gather kernel
     (pallas_bwd=True) or the XLA weight-grad gather.
+
+    interpret=None auto-selects: Mosaic on TPU, interpret mode elsewhere
+    (so CPU tests of the pallas_deposit config run unchanged).
 
     Requires the halo contract |base - q| <= halo - 1 in x/y (see
     forward/pallas_deposit.py); monitor pallas_deposit.deposit_violations.
     """
     from barcode_tpu.forward import pallas_deposit as _pd
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     @jax.custom_vjp
     def dep(pos):

@@ -74,6 +74,16 @@ class Runner:
             lambda s: lag2eul(s, self.g, dataclasses.replace(fwd, rsd=False), self.gp))
         self._lag2eul_rsd_jit = jax.jit(
             lambda s: lag2eul(s, self.g, fwd, self.gp)) if fwd.rsd else None
+        if fwd.pallas_deposit:
+            # halo-contract monitor (x/y only — RSD shifts z): breached
+            # particles silently lose their deposit, so surface it
+            from barcode_tpu.forward import pallas_deposit as _pd
+            fwd_norsd = dataclasses.replace(fwd, rsd=False)
+            self._violations_jit = jax.jit(lambda s: _pd.deposit_violations(
+                lag2eul(s, self.g, fwd_norsd, self.gp, return_pos=True)[1],
+                self.g, fwd.pallas_halo))
+        else:
+            self._violations_jit = None
 
     # -- setup ------------------------------------------------------------
 
@@ -207,6 +217,12 @@ class Runner:
             bio.write_array(self.dir / f"deltaRSS_{iteration}", np.asarray(d_rss))
         km, pw, _ = self._spec_jit(s)
         bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+        if self._violations_jit is not None:
+            nviol = int(self._violations_jit(s))
+            if nviol:
+                print(f"WARNING: {nviol} particles breach the Pallas deposit "
+                      f"halo contract (pallas_halo={self.conf.model.forward.pallas_halo})"
+                      " — their mass is dropped; increase pallas_halo")
         if self._protocols is not None:
             acc = float(np.asarray(self.states.acc_flags[chain]).mean())
             resid = float(self.states.psi_like[chain]) / (self.g.N / 2.0)

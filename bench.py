@@ -28,8 +28,10 @@ N_GRID = int(os.environ.get("BENCH_N", 128))
 BOX = 200.0
 N_EPS = 8          # fixed leapfrog steps per attempt for exact step counting
 N_ATTEMPTS = 8     # timed attempts per measurement
-# Pallas deposit path: BENCH_PALLAS=1 [BENCH_HALO=n] [BENCH_BLOCK=bx]
-PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+# Pallas deposit path (default ON since the Mosaic kernels run on hardware:
+# 3.1x end-to-end at 128^3); BENCH_PALLAS=0 for the XLA scatter path,
+# [BENCH_HALO=n] [BENCH_BLOCK=bx] to tune
+PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 HALO = int(os.environ.get("BENCH_HALO", 0))
 BLOCK = int(os.environ.get("BENCH_BLOCK", 8))
 CPU_BASELINE_FILE = Path(__file__).parent / "bench_cpu_baseline.json"

@@ -103,3 +103,16 @@ def test_internal_eh98_power_path(tmp_path):
     assert int(states.accepted.min()) >= 1
     P = np.asarray(jax.jit(r.load_power)())
     assert P.shape == (8, 8, 5) and P[0, 0, 0] == 0.0 and (P >= 0).all()
+
+
+def test_runner_pallas_deposit_path(tmp_path):
+    """pallas_deposit config end-to-end on CPU (interpret auto-selected),
+    including the halo-contract violation monitor."""
+    conf = small_conf(tmp_path)
+    fwd = dataclasses.replace(conf.model.forward, masskernel="tsc",
+                              pallas_deposit=True, pallas_halo=4)
+    conf = dataclasses.replace(conf, model=dataclasses.replace(conf.model, forward=fwd))
+    r = Runner(conf).setup()
+    states = r.run(n_samples=1, max_attempts=200, log=False)
+    assert int(states.accepted.min()) >= 1
+    assert int(r._violations_jit(r.current_signal())) == 0
