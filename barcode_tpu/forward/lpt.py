@@ -46,11 +46,9 @@ def _psi_from_div_C(div_C, g: GridSpec):
     guard = k2 > 1e-14
     inv_k2 = jnp.where(guard, 1.0 / jnp.where(guard, k2, 1.0), 0.0)
     base = (-1j) * div_C * inv_k2 * fourier.nyquist_mask(g)
-    return jnp.stack([
-        fourier.irfft3(kx * base, g),
-        fourier.irfft3(ky * base, g),
-        fourier.irfft3(kz * base, g),
-    ])
+    # one batched irfft over the 3 components (XLA pipelines a single
+    # batched transform much better than 3 sequential ones)
+    return fourier.irfft3(jnp.stack([kx * base, ky * base, kz * base]), g)
 
 
 def zeldovich_psi(delta1, g: GridSpec, D1: float):
@@ -89,16 +87,11 @@ def _second_order_source(delta_C, g: GridSpec, deriv_scheme: str = "fft"):
                 + p[1, 1] * p[2, 2] - p[1, 2] ** 2)
 
     base = delta_C * inv_k2
-
-    def dd(ka, kb):
-        return fourier.irfft3(ka * kb * base, g)
-
-    pxx = dd(kx, kx)
-    pyy = dd(ky, ky)
-    pzz = dd(kz, kz)
-    pxy = dd(kx, ky)
-    pxz = dd(kx, kz)
-    pyz = dd(ky, kz)
+    # all six second derivatives in one batched irfft (multiply by the full
+    # half-complex base first: kvec components are broadcast-shaped)
+    stack = jnp.stack([kx * kx * base, ky * ky * base, kz * kz * base,
+                       kx * ky * base, kx * kz * base, ky * kz * base])
+    pxx, pyy, pzz, pxy, pxz, pyz = fourier.irfft3(stack, g)
     return pxx * pyy - pxy * pxy + pxx * pzz - pxz * pxz + pyy * pzz - pyz * pyz
 
 

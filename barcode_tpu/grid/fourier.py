@@ -135,10 +135,7 @@ def displacement_from_phi(phi, g: GridSpec):
     inv_k2 = jnp.where(guard, 1.0 / jnp.where(guard, k2, 1.0), 0.0)
     mask = nyquist_mask(g)
     base = (-1j) * X * inv_k2 * mask
-    psix = irfft3(kx * base, g)
-    psiy = irfft3(ky * base, g)
-    psiz = irfft3(kz * base, g)
-    return jnp.stack([psix, psiy, psiz])
+    return irfft3(jnp.stack([kx * base, ky * base, kz * base]), g)
 
 
 def convolve_inv_corr(x, g: GridSpec, corr_rfft):

@@ -97,12 +97,12 @@ def grad_log_like_analytic(delta_lag, g: GridSpec, fc: ForwardConfig,
     #    h(k) = -D1 * sum_i conj(-i k_i/k^2) V_i(k) = -D1 sum_i (+i k_i/k^2) V_i(k)
     #    (the reference's grad_inv_lap_FS produces -i k/k^2 and then flips the
     #    total sign with zeldovich_norm = -1, HMC_models.cc:458-463)
-    hC = 0.0
     mask = fourier.nyquist_mask(g)
     kx, ky, kz = fourier.kvec(g)
     k2 = kx * kx + ky * ky + kz * kz
     guard = k2 > 1e-14
     inv_k2 = jnp.where(guard, 1.0 / jnp.where(guard, k2, 1.0), 0.0)
-    for i, kl in enumerate((kx, ky, kz)):
-        hC = hC + (1j) * kl * inv_k2 * mask * fourier.rfft3(V[i])
+    VC = fourier.rfft3(V)  # one batched rfft over the 3 components
+    hC = ((1j) * inv_k2 * mask
+          * (kx * VC[0] + ky * VC[1] + kz * VC[2]))
     return -gp.D1 * fourier.irfft3(hC, g)
