@@ -110,24 +110,11 @@ def _deposit_local(pos, g: GridSpec, fc: ForwardConfig, halo: int, n_dev: int, d
     return _halo_exchange_add(ext, halo)
 
 
-def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
-                     likelihood: int, mesh: Mesh, halo: int | None = None):
-    """psi(delta_slab, obs_slabs) -> scalar, fully sharded; and its grad.
-
-    delta and the obs fields are x-slab-sharded; obs.power must be provided
-    in the *sharded Fourier layout* (x full, ky-sharded — use
-    power_to_sharded_layout).  sfmodel=1 (Zel'dovich); masskernel 'tsc' or
-    'sph_ft'.
-    """
-    assert fc.sfmodel == 1, "sharded path implements Zel'dovich first"
-    n_dev = mesh.devices.size
-    halo = halo if halo is not None else suggest_halo(g)
-    assert halo <= g.N1 // n_dev, (
-        f"halo ({halo}) must not exceed the slab width ({g.N1 // n_dev}): "
-        "the ring exchange only reaches adjacent slabs")
+def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
+                    likelihood: int, halo: int, n_dev: int):
+    """The slab-local posterior body shared by the ('grid',) and
+    ('chains','grid') entry points; collectives run over AXIS only."""
     h = kernel_h(fc, g)
-    x_spec = P(AXIS, None, None)
-    f_spec = P(None, AXIS, None)
 
     def psi_local(delta, nobs, window, noise, power_f):
         dev = jax.lax.axis_index(AXIS)
@@ -174,6 +161,33 @@ def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
         psi_prior = 0.5 * jnp.sum(delta * Sinv_d)
         return jax.lax.psum(psi_prior + psi_like, AXIS)
 
+    return psi_local
+
+
+def _check_halo(g: GridSpec, fc: ForwardConfig, n_dev: int, halo):
+    assert fc.sfmodel == 1, "sharded path implements Zel'dovich first"
+    halo = halo if halo is not None else suggest_halo(g)
+    assert halo <= g.N1 // n_dev, (
+        f"halo ({halo}) must not exceed the slab width ({g.N1 // n_dev}): "
+        "the ring exchange only reaches adjacent slabs")
+    return halo
+
+
+def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
+                     likelihood: int, mesh: Mesh, halo: int | None = None):
+    """psi(delta_slab, obs_slabs) -> scalar, fully sharded; and its grad.
+
+    delta and the obs fields are x-slab-sharded; obs.power must be provided
+    in the *sharded Fourier layout* (x full, ky-sharded — use
+    power_to_sharded_layout).  sfmodel=1 (Zel'dovich); masskernel 'tsc' or
+    'sph_ft'.
+    """
+    n_dev = mesh.devices.size
+    halo = _check_halo(g, fc, n_dev, halo)
+    psi_local = _make_psi_local(g, fc, gp, likelihood, halo, n_dev)
+    x_spec = P(AXIS, None, None)
+    f_spec = P(None, AXIS, None)
+
     # check_vma=False: the fft transpose rule rejects varying-over-mesh-axis
     # cotangent annotations (JAX 0.9), which blocks jax.grad through the
     # sharded spectral pipeline otherwise
@@ -188,6 +202,60 @@ def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     psi_jit = jax.jit(psi_fn)
     grad_jit = jax.jit(jax.grad(psi_fn))
     return psi_jit, grad_jit
+
+
+def make_sharded_psi_vg_chains(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
+                               likelihood: int, mesh: Mesh,
+                               halo: int | None = None):
+    """Per-chain (psi values, grads) over a 2-axis ('chains', 'grid') mesh:
+    data parallelism across chains composed with slab (sequence-style)
+    parallelism across the grid — the dp x sp composition of SURVEY.md §5.8.
+
+    Input delta_batch is (n_chains,) + grid shape, sharded
+    P('chains', 'grid', None, None); obs fields are replicated over 'chains'
+    and slab-sharded over 'grid' (shard_obs_chains).  Chains are independent:
+    grad of sum(psi) gives each chain its own gradient.
+    """
+    n_dev = mesh.shape[AXIS]
+    halo = _check_halo(g, fc, n_dev, halo)
+    psi_local = _make_psi_local(g, fc, gp, likelihood, halo, n_dev)
+
+    def local(delta_c, nobs, window, noise, power_f):
+        # delta_c: (nc_local, n1_local, N2, N3); chains batch via vmap, the
+        # 'grid' collectives broadcast over it
+        return jax.vmap(
+            lambda d: psi_local(d, nobs, window, noise, power_f))(delta_c)
+
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("chains", AXIS, None, None), P(AXIS, None, None),
+                  P(AXIS, None, None), P(AXIS, None, None),
+                  P(None, AXIS, None)),
+        out_specs=P("chains"), check_vma=False)
+
+    def vg_fn(delta_batch, obs: ObsData):
+        def f(d):
+            vals = shmapped(d, obs.nobs, obs.window, obs.noise, obs.power)
+            return vals.sum(), vals
+        (_, vals), grads = jax.value_and_grad(f, has_aux=True)(delta_batch)
+        return vals, grads
+
+    return jax.jit(vg_fn)
+
+
+def shard_obs_chains(obs: ObsData, mesh: Mesh):
+    """Observation layout for the ('chains','grid') mesh: fields slab-sharded
+    over 'grid', replicated over 'chains'."""
+    xs = NamedSharding(mesh, P(AXIS, None, None))
+    fs = NamedSharding(mesh, P(None, AXIS, None))
+    return ObsData(
+        nobs=jax.device_put(obs.nobs, xs),
+        window=jax.device_put(obs.window, xs),
+        noise=jax.device_put(obs.noise, xs),
+        power=jax.device_put(obs.power, fs),
+        rho_c=obs.rho_c, biasP=obs.biasP, biasE=obs.biasE,
+        delta_min=obs.delta_min,
+    )
 
 
 def _w4_sharded(g: GridSpec, n_dev: int, dev, h: float):

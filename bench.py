@@ -17,6 +17,7 @@ Prints ONE JSON line:
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -51,9 +52,34 @@ def build_step(n_grid: int):
 
     g = GridSpec.cube(n_grid, BOX)
     gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85, hubble=100.0)
-    halo = HALO or max(4, int(4 * 6.0 / g.cell[0]) + 2)  # 4 sigma_psi + reach
-    fc = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0,
-                       pallas_deposit=PALLAS, pallas_halo=halo)
+    fc0 = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0)
+    halo = HALO
+    if not halo and PALLAS:
+        # auto-halo: measure the mock truth's actual x/y displacement bound
+        # once (halo=20 from the 4-sigma formula costs ~2.5x the kernel time
+        # of the measured bound ~4 cells + reach)
+        from barcode_tpu.forward import pallas_deposit as _pd
+
+        @jax.jit
+        def _max_off():
+            kk = jnp.sqrt(fourier.k_squared(g))
+            keq = 0.02
+            P = (1e4 * (kk / keq) / (1.0 + (kk / keq) ** 2) ** 1.5).at[0, 0, 0].set(0.0)
+            truth = random_fields.grf(jax.random.key(0), g, P)
+            _, pos = lag2eul(truth, g, fc0, gp, return_pos=True)
+            d = jnp.asarray(g.cell, pos.dtype).reshape(3, 1, 1, 1)
+            base = jnp.floor(pos / d)
+            q = jnp.stack(jnp.meshgrid(
+                jnp.arange(g.N1), jnp.arange(g.N2), jnp.arange(g.N3),
+                indexing="ij")).astype(pos.dtype)
+            off = base - q
+            L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
+            off = jnp.mod(off + L / 2, L) - L / 2
+            return jnp.max(jnp.abs(off[:2]))
+
+        halo = int(float(_max_off())) + 3  # bound + TSC reach + margin
+    halo = halo or 8
+    fc = dataclasses.replace(fc0, pallas_deposit=PALLAS, pallas_halo=halo)
     mc = ModelConfig(likelihood=1, forward=fc)
     hc = HMCConfig(eps_fac=1e-4, eps_fac_update_type=0, mass_type=1,
                    N_eps_fac=N_EPS, N_a_eps_update=32)

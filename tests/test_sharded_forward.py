@@ -84,3 +84,29 @@ def test_w4_sharded_matches_host_kernel(mesh):
                               out_specs=P(None, sfw.AXIS, None)))(
         jnp.zeros(8))
     np.testing.assert_allclose(np.asarray(W), dense, atol=2e-4)
+
+
+def test_chains_grid_mesh_psi_and_grad():
+    """dp x sp composition: 4 chains x 2 grid slabs on the 8-device mesh;
+    per-chain psi/grad match the dense single-device values."""
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, axis_names=("chains", sfw.AXIS))
+    truth, fc, obs = build_problem(mk="sph_ft")
+    mc = posterior.ModelConfig(likelihood=1, forward=fc)
+    dense_psi = posterior.make_psi(G, mc, GP, obs)
+    dense_vg = jax.jit(jax.value_and_grad(lambda d: dense_psi(d)[0]))
+
+    batch = jnp.stack([0.5 * truth, -0.3 * truth, 0.1 * truth,
+                       jnp.zeros(G.shape)])
+    vg = sfw.make_sharded_psi_vg_chains(G, fc, GP, likelihood=1, mesh=mesh2,
+                                        halo=2)
+    obs_sh = sfw.shard_obs_chains(obs, mesh2)
+    batch_sh = jax.device_put(
+        batch, NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
+    vals, grads = vg(batch_sh, obs_sh)
+    for c in range(4):
+        v_ref, g_ref = dense_vg(batch[c])
+        np.testing.assert_allclose(float(vals[c]), float(v_ref), rtol=3e-4)
+        g_ref = np.asarray(g_ref)
+        np.testing.assert_allclose(np.asarray(grads[c]), g_ref,
+                                   atol=3e-3 * np.abs(g_ref).max())
