@@ -66,15 +66,19 @@ class Runner:
         from barcode_tpu.protocol import Protocols
         self._protocols = Protocols(self.dir)
         self._truth_spec = None
-        # jitted helpers (the axon TPU backend has no eager ops)
+        self._make_jits()
+
+    def _make_jits(self):
+        """Jitted helpers (the axon TPU backend has no eager ops); rebuilt if
+        setup() resolves an auto halo."""
         self._spec_jit = jax.jit(
             lambda x: fourier.measure_spectrum(x, self.g, self.conf.N_bin))
-        fwd = conf.model.forward
+        fwd = self.conf.model.forward
         self._lag2eul_jit = jax.jit(
             lambda s: lag2eul(s, self.g, dataclasses.replace(fwd, rsd=False), self.gp))
         self._lag2eul_rsd_jit = jax.jit(
             lambda s: lag2eul(s, self.g, fwd, self.gp)) if fwd.rsd else None
-        if fwd.pallas_deposit:
+        if fwd.pallas_deposit and fwd.pallas_halo > 0:
             # halo-contract monitor (x/y only — RSD shifts z): breached
             # particles silently lose their deposit, so surface it
             from barcode_tpu.forward import pallas_deposit as _pd
@@ -84,6 +88,34 @@ class Runner:
                 self.g, fwd.pallas_halo))
         else:
             self._violations_jit = None
+
+    def _resolve_auto_halo(self, truth):
+        """pallas_halo <= 0 -> measure the mock truth's x/y displacement
+        bound (+ TSC reach + sampling margin), like bench.py's auto-halo."""
+        fwd = self.conf.model.forward
+        if not (fwd.pallas_deposit and fwd.pallas_halo <= 0):
+            return
+        g = self.g
+        fwd_norsd = dataclasses.replace(fwd, rsd=False, pallas_deposit=False)
+
+        @jax.jit
+        def max_off(s):
+            _, pos = lag2eul(s, g, fwd_norsd, self.gp, return_pos=True)
+            d = jnp.asarray(g.cell, pos.dtype).reshape(3, 1, 1, 1)
+            base = jnp.floor(pos / d)
+            q = jnp.stack(jnp.meshgrid(
+                jnp.arange(g.N1), jnp.arange(g.N2), jnp.arange(g.N3),
+                indexing="ij")).astype(pos.dtype)
+            off = base - q
+            L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
+            off = jnp.mod(off + L / 2, L) - L / 2
+            return jnp.max(jnp.abs(off[:2]))
+
+        halo = int(float(max_off(truth))) + 4  # bound + reach + margin
+        fwd = dataclasses.replace(fwd, pallas_halo=halo)
+        self.conf = dataclasses.replace(
+            self.conf, model=dataclasses.replace(self.conf.model, forward=fwd))
+        self._make_jits()
 
     # -- setup ------------------------------------------------------------
 
@@ -122,6 +154,13 @@ class Runner:
             sigma = jnp.asarray(bio.read_array(self.dir / "sigma", shape))
             self.obs = ObsData(nobs=nobs, window=win, noise=sigma, power=power,
                                delta_min=conf.delta_min)
+
+        if conf.model.forward.pallas_deposit and conf.model.forward.pallas_halo <= 0:
+            proxy = (self.truth if self.truth is not None else
+                     jax.jit(lambda k: random_fields.grf(k, self.g, power))(
+                         jax.random.key(conf.seed + 17)))
+            self._resolve_auto_halo(proxy)
+        conf = self.conf  # may carry the resolved halo now
 
         n_chains = n_chains or conf.n_chains
         guess = self._initial_guess(k_guess)

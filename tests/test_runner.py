@@ -116,3 +116,16 @@ def test_runner_pallas_deposit_path(tmp_path):
     states = r.run(n_samples=1, max_attempts=200, log=False)
     assert int(states.accepted.min()) >= 1
     assert int(r._violations_jit(r.current_signal())) == 0
+
+
+def test_runner_auto_halo(tmp_path):
+    conf = small_conf(tmp_path)
+    fwd = dataclasses.replace(conf.model.forward, masskernel="tsc",
+                              pallas_deposit=True, pallas_halo=0)
+    conf = dataclasses.replace(conf, model=dataclasses.replace(conf.model, forward=fwd))
+    r = Runner(conf).setup()
+    h = r.conf.model.forward.pallas_halo
+    assert h >= 4  # resolved: bound + reach + margin
+    states = r.run(n_samples=1, max_attempts=200, log=False)
+    assert int(states.accepted.min()) >= 1
+    assert int(r._violations_jit(r.current_signal())) == 0
