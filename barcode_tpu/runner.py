@@ -307,11 +307,16 @@ class Runner:
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
         # samples 1-10 are always dumped, then every outnum-th
-        # (input.par `outnum` comment; barcoderunner.cc:512-528)
-        next_dump = 1
+        # (input.par `outnum` comment; barcoderunner.cc:512-528);
+        # the cursor persists across segmented run() calls
+        next_dump = getattr(self, "_next_dump", 1)
         attempts_done = 0
-        self.metrics = SamplerMetrics()
-        self._psi_trace: list[np.ndarray] = []
+        # metrics/traces persist across segmented run() calls (long runs are
+        # driven in wall-clock segments; diagnostics should span them all)
+        if getattr(self, "metrics", None) is None:
+            self.metrics = SamplerMetrics()
+        if getattr(self, "_psi_trace", None) is None:
+            self._psi_trace: list[np.ndarray] = []
         dash = Dashboard(title=f"barcode_tpu  N={self.g.N1}  "
                          f"L={self.g.L1:g}", force=dashboard)
         rhat = float("inf")
@@ -331,6 +336,7 @@ class Runner:
             while acc0 >= next_dump and next_dump <= n_samples:
                 self.dump_sample(next_dump)
                 next_dump += 1 if next_dump < 10 else max(1, conf.outnum)
+            self._next_dump = next_dump
             min_acc = int(self.states.accepted.min())
             if dash.enabled:
                 dash.update(stats, self.states, self.metrics.summary(),
