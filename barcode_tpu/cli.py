@@ -28,6 +28,16 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=None,
                    help="override N_Gibbs")
     p.add_argument("--out", default=None, help="output directory override")
+    p.add_argument("--dashboard", action="store_true", default=None,
+                   help="force the live candidate table (the ncurses-UI "
+                        "equivalent; auto-enabled on a TTY)")
+    p.add_argument("--no-dashboard", dest="dashboard", action="store_false")
+    p.add_argument("--rhat-stop", type=float, default=None,
+                   help="stop when cross-chain split R-hat of psi drops "
+                        "below this threshold")
+    p.add_argument("--nan-check", action="store_true",
+                   help="abort on non-finite sampler state (the reference's "
+                        "NAN_DETECTION trap)")
     args = p.parse_args(argv)
 
     if Path(args.input_par).exists():
@@ -40,9 +50,12 @@ def main(argv=None):
     if args.resume or args.restart_iteration is not None:
         runner.restore()
     try:
-        runner.run(n_samples=args.samples)
+        runner.run(n_samples=args.samples, rhat_stop=args.rhat_stop,
+                   dashboard=args.dashboard, nan_check=args.nan_check)
     finally:
         runner.checkpoint()
+        import json as _json
+        print(_json.dumps(runner.diagnostics(), default=float))
     return 0
 
 
