@@ -67,6 +67,8 @@ class HMCConfig:
     div_dH_by_N: bool = False
     mass_factor: float = 1.0
     pool_adaptation: bool = False      # pool the eps controller window across chains
+    integrator: str = "leapfrog"       # or 'minimal_norm_2' (2-stage Omelyan:
+                                       # 2 grads/step, ~2x larger stable eps)
 
     def eps_fac_target(self, N: int) -> float:
         """Heuristic optimal step scale 2.389 N^-0.575 (init_par.cc:260)."""
@@ -181,6 +183,9 @@ class RunConfig:
             total_steps_lim=_get(p, "total_steps_lim", int, 0),
             div_dH_by_N=_get(p, "div_dH_by_N", bool, False),
             mass_factor=_get(p, "mass_factor", float, 1.0),
+            # extension keys (absent from reference input.par files)
+            pool_adaptation=_get(p, "pool_adaptation", bool, False),
+            integrator=_get(p, "integrator", str, "leapfrog"),
         )
         mock = MockConfig(
             random_test=_get(p, "random_test", bool, True),

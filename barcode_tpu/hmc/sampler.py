@@ -61,9 +61,21 @@ def make_init(g: GridSpec, mc: ModelConfig, gp: GrowthParams, hc: HMCConfig):
     return init
 
 
-def leapfrog(vag, minv, carry0, eps, Neps, n_max: int):
-    """Masked fixed-length kick-drift-kick (Hamiltonian_EoM, HMC.cc:251-369).
+# 2-stage minimal-norm (Omelyan/BCSS) splitting coefficient: same formal
+# order as leapfrog but ~10x smaller energy-error coefficient, so HMC can
+# run ~2x larger steps per gradient at equal acceptance (the higher-order
+# integrator strategy of arXiv:1911.02667 for LSS HMC; the reference only
+# has plain leapfrog, HMC.cc:251-369).
+LAMBDA_MN2 = 0.1931833275037836
 
+
+def leapfrog(vag, minv, carry0, eps, Neps, n_max: int,
+             integrator: str = "leapfrog"):
+    """Masked fixed-length symplectic integration (Hamiltonian_EoM,
+    HMC.cc:251-369).
+
+    integrator: 'leapfrog' (kick-drift-kick, 1 gradient/step) or
+    'minimal_norm_2' (K(le) D(e/2) K((1-2l)e) D(e/2) K(le), 2 gradients/step).
     carry0 = (s, psi, psi_prior, psi_like, grad, p); steps j >= Neps are
     no-ops so vmapped chains with different Neps stay batched.  Exposed at
     module level for the reversibility/energy-scaling tests.
@@ -72,10 +84,22 @@ def leapfrog(vag, minv, carry0, eps, Neps, n_max: int):
     def body(j, carry):
         s, psi, pp, pl, grad, p = carry
         active = j < Neps
-        p_half = p - 0.5 * eps * grad
-        s_new = s + eps * minv(p_half)
-        (psi_new, (pp_new, pl_new)), grad_new = vag(s_new)
-        p_new = p_half - 0.5 * eps * grad_new
+        if integrator == "leapfrog":
+            p_half = p - 0.5 * eps * grad
+            s_new = s + eps * minv(p_half)
+            (psi_new, (pp_new, pl_new)), grad_new = vag(s_new)
+            p_new = p_half - 0.5 * eps * grad_new
+        elif integrator == "minimal_norm_2":
+            lam = LAMBDA_MN2
+            p1 = p - lam * eps * grad
+            s1 = s + 0.5 * eps * minv(p1)
+            (_, (_, _)), g1 = vag(s1)
+            p2 = p1 - (1.0 - 2.0 * lam) * eps * g1
+            s_new = s1 + 0.5 * eps * minv(p2)
+            (psi_new, (pp_new, pl_new)), grad_new = vag(s_new)
+            p_new = p2 - lam * eps * grad_new
+        else:
+            raise ValueError(f"unknown integrator {integrator!r}")
         sel = lambda a, b: jnp.where(active, a, b)
         return (sel(s_new, s), sel(psi_new, psi), sel(pp_new, pp),
                 sel(pl_new, pl), sel(grad_new, grad), sel(p_new, p))
@@ -115,7 +139,8 @@ def make_attempt(g: GridSpec, mc: ModelConfig, gp: GrowthParams, hc: HMCConfig):
                   state.grad, p0)
         minv = lambda p: mass_mod.apply_minv(p, g, hc.mass_type, mass)
         s_f, psi_f, pp_f, pl_f, grad_f, p_f = leapfrog(
-            vag, minv, carry0, eps, Neps, n_eps_max)
+            vag, minv, carry0, eps, Neps, n_eps_max,
+            integrator=hc.integrator)
 
         # 5. Metropolis
         H_kin_f = mass_mod.kinetic(p_f, g, hc.mass_type, mass)

@@ -313,3 +313,46 @@ def test_jasche_mass_matches_direct_sum():
     direct *= (G.vol / G.N) ** 2
     fast = np.asarray(mass_mod.jasche_diagonal_mass(G, obs.window, obs.noise, h))
     np.testing.assert_allclose(fast, direct, rtol=2e-2, atol=1e-3 * direct.max())
+
+
+def test_minimal_norm_integrator_reversible_and_more_accurate():
+    """The 2-stage minimal-norm integrator (sampler.LAMBDA_MN2) is exactly
+    reversible and has a much smaller |dH| than leapfrog at the same eps."""
+    truth, obs = setup()
+    vag, minv, mass = vag_minv(obs)
+    s0 = 0.3 * truth
+    (psi0, (pp0, pl0)), g0 = vag(s0)
+    p0 = mass_mod.draw_momenta(jax.random.key(12), G, 1, mass)
+    K0 = mass_mod.kinetic(p0, G, 1, mass)
+    eps, n = 0.2, 4
+
+    run = lambda carry, p, scheme: sampler.leapfrog(
+        vag, minv, carry, eps, n, n, integrator=scheme)
+    fwd = run((s0, psi0, pp0, pl0, g0, p0), p0, "minimal_norm_2")
+    s1, psi1, pp1, pl1, g1, p1 = fwd
+    back = run((s1, psi1, pp1, pl1, g1, -p1), -p1, "minimal_norm_2")
+    s2, _, _, _, _, p2 = back
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s0), atol=2e-4)
+
+    def dH(scheme):
+        out = run((s0, psi0, pp0, pl0, g0, p0), p0, scheme)
+        _, psi_f, _, _, _, p_f = out
+        return abs(float(mass_mod.kinetic(p_f, G, 1, mass) + psi_f - (K0 + psi0)))
+
+    assert dH("minimal_norm_2") < 0.5 * dH("leapfrog")
+
+
+def test_sampler_with_minimal_norm_integrator():
+    """End-to-end attempt batch with integrator='minimal_norm_2' accepts."""
+    truth, obs = setup()
+    hc = HMCConfig(eps_fac=0.4, eps_fac_update_type=0, mass_type=1,
+                   integrator="minimal_norm_2")
+    mc = MC
+    init = sampler.make_init(G, mc, GP, hc)
+    state = jax.jit(lambda k: init(k, 0.2 * truth, obs))(jax.random.key(3))
+    mass = mass_mod.compute_mass(G, hc.mass_type, obs.power)
+    run = sampler.make_sampler(G, mc, GP, hc, n_attempts_per_call=16)
+    states = jax.tree_util.tree_map(lambda x: x[None], state)
+    states, stats = run(states, obs, mass)
+    assert np.isfinite(np.asarray(stats.dH)).all()
+    assert int(states.accepted[0]) >= 1
