@@ -241,6 +241,7 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     position (divided by the cell size)."""
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
+    assert halo > 0, "pallas gather needs a resolved halo (cells) > 0"
     halo = -(-halo // 4) * 4  # Mosaic: WY must divide by 8 (see deposit)
     WX, WY = BX + 2 * halo, BY + 2 * halo
     part = _phase_a(pos, g, halo)
@@ -280,6 +281,7 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     """
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
+    assert halo > 0, "pallas deposit needs a resolved halo (cells) > 0"
     # Mosaic requires the second-to-last block dim (WY) to divide by 8:
     # with BY a multiple of 8, round the halo up to a multiple of 4
     halo = -(-halo // 4) * 4

@@ -140,9 +140,15 @@ class Runner:
         power = jax.jit(self.load_power)()
         self.key, k_mock, k_guess, k_chains = jax.random.split(self.key, 4)
 
+        fwd_mock = conf.model.forward
+        if fwd_mock.pallas_deposit and fwd_mock.pallas_halo <= 0:
+            # the halo is resolved from the mock truth below — the mock
+            # itself must use the XLA deposit (halo=0 would corrupt the
+            # Pallas window layout)
+            fwd_mock = dataclasses.replace(fwd_mock, pallas_deposit=False)
         if conf.mock.random_test:
             md = jax.jit(lambda k: mock_mod.generate(
-                k, self.g, conf.mock, conf.model.forward, self.gp, power,
+                k, self.g, conf.mock, fwd_mock, self.gp, power,
                 conf.model.likelihood, delta_min=conf.delta_min))(k_mock)
             mock_mod.validate(md, conf.model.likelihood)
             self.obs, self.truth = md.obs, md.truth_lag
