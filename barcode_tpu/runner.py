@@ -378,8 +378,16 @@ class Runner:
             out["eps_fac"] = np.asarray(self.states.eps_fac).tolist()
             out["accepted_per_chain"] = np.asarray(self.states.accepted).tolist()
         if getattr(self, "_psi_trace", None) and len(self._psi_trace) >= 4:
+            from barcode_tpu.utils.metrics import effective_sample_size
             trace = np.stack(self._psi_trace, axis=1)
-            out["rhat_psi"] = split_rhat(trace[:, trace.shape[1] // 2:])
+            half = trace[:, trace.shape[1] // 2:]
+            out["rhat_psi"] = split_rhat(half)
+            # ESS of psi summed over chains; trace rows are one attempt-batch
+            # apart, so scale to attempts
+            ess = sum(effective_sample_size(row) for row in half)
+            out["ess_psi"] = ess
+            if "elapsed_s" in out and out["elapsed_s"] > 0:
+                out["ess_psi_per_s"] = ess / (0.5 * out["elapsed_s"])
         return out
 
     # -- checkpoint / resume ----------------------------------------------
