@@ -169,12 +169,22 @@ class Runner:
         conf = self.conf  # may carry the resolved halo now
 
         n_chains = n_chains or conf.n_chains
-        guess = self._initial_guess(k_guess)
         init = sampler.make_init(self.g, conf.model, self.gp, conf.hmc)
         keys = jax.random.split(k_chains, n_chains)
-        self.states = jax.jit(
-            lambda ks, gs, ob: jax.vmap(lambda k: init(k, gs, ob))(ks)
-        )(keys, guess, self.obs)
+        if conf.initial_guess in (2, 3, 4):
+            # stochastic guesses are drawn per chain: over-dispersed starts
+            # make the cross-chain R-hat diagnostic meaningful (the
+            # single-chain reference shares one guess by construction)
+            gkeys = jax.random.split(k_guess, n_chains)
+            guesses = jnp.stack([self._initial_guess(k) for k in gkeys])
+            self.states = jax.jit(
+                lambda ks, gs, ob: jax.vmap(lambda k, gu: init(k, gu, ob))(ks, gs)
+            )(keys, guesses, self.obs)
+        else:
+            guess = self._initial_guess(k_guess)
+            self.states = jax.jit(
+                lambda ks, gs, ob: jax.vmap(lambda k: init(k, gs, ob))(ks)
+            )(keys, guess, self.obs)
         self.mass = self._compute_mass()
         self._run = sampler.make_sampler(self.g, conf.model, self.gp, conf.hmc,
                                          n_attempts_per_call=self.attempt_batch)
