@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--nan-check", action="store_true",
                    help="abort on non-finite sampler state (the reference's "
                         "NAN_DETECTION trap)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(the timers/flamegraph view the reference lacks, "
+                        "SURVEY.md §5.1)")
     args = p.parse_args(argv)
 
     if Path(args.input_par).exists():
@@ -49,9 +53,15 @@ def main(argv=None):
     runner = Runner(conf, out_dir=args.out).setup(n_chains=args.chains)
     if args.resume or args.restart_iteration is not None:
         runner.restore()
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        prof = jax.profiler.trace(args.profile)
     try:
-        runner.run(n_samples=args.samples, rhat_stop=args.rhat_stop,
-                   dashboard=args.dashboard, nan_check=args.nan_check)
+        with prof:
+            runner.run(n_samples=args.samples, rhat_stop=args.rhat_stop,
+                       dashboard=args.dashboard, nan_check=args.nan_check)
     finally:
         runner.checkpoint()
         import json as _json

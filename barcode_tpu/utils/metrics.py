@@ -8,6 +8,7 @@ multi-host jobs all cope; an ncurses UI would not survive any of them).
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
 
@@ -70,15 +71,18 @@ class SamplerMetrics:
     attempts: int = 0
     accepted: int = 0
     leapfrog_steps: int = 0
-    dh_abs_sum: float = 0.0
+    # recent-window |dH| (warmup blowups would dominate a cumulative mean
+    # forever; the useful signal is the current regime)
+    dh_window: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=512))
 
     def update(self, stats) -> None:
         acc = np.asarray(stats.accepted)
         self.attempts += acc.size
         self.accepted += int(acc.sum())
         self.leapfrog_steps += int(np.asarray(stats.Neps).sum())
-        dh = np.asarray(stats.dH)
-        self.dh_abs_sum += float(np.abs(dh[np.isfinite(dh)]).sum())
+        dh = np.asarray(stats.dH).ravel()
+        self.dh_window.extend(np.abs(dh[np.isfinite(dh)]).tolist())
 
     @property
     def elapsed(self) -> float:
@@ -92,7 +96,8 @@ class SamplerMetrics:
             "acc_rate": self.accepted / max(self.attempts, 1),
             "leapfrog_steps_per_s": self.leapfrog_steps / el,
             "samples_per_s": self.accepted / el,
-            "mean_abs_dH": self.dh_abs_sum / max(self.attempts, 1),
+            "median_abs_dH": (float(np.median(self.dh_window))
+                              if self.dh_window else float("nan")),
             "elapsed_s": el,
         }
 
@@ -100,7 +105,7 @@ class SamplerMetrics:
         s = self.summary()
         return (f"att={s['attempts']} acc={s['accepted']} "
                 f"rate={s['acc_rate']:.2f} steps/s={s['leapfrog_steps_per_s']:.1f} "
-                f"|dH|={s['mean_abs_dH']:.3g} t={s['elapsed_s']:.0f}s {extra}")
+                f"|dH|={s['median_abs_dH']:.3g} t={s['elapsed_s']:.0f}s {extra}")
 
 
 def check_finite(states, where: str = "") -> None:

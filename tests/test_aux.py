@@ -196,3 +196,19 @@ def test_eh98_power_spectrum():
     assert abs(s8 - c.sigma8) < 1e-3       # sigma8 normalization holds
     # turnover near k_eq ~ 0.01-0.1 h/Mpc
     assert 1e-3 < k[np.argmax(P)] < 0.2
+
+
+def test_cli_profile_flag(tmp_path, monkeypatch):
+    """--profile captures a jax.profiler trace directory."""
+    import runpy
+    from barcode_tpu import cli
+    par = tmp_path / "input.par"
+    par.write_text("Nx = 8\nLx = 8.0\nseed = 3\nsfmodel = 1\nmasskernel = 2\n"
+                   "likelihood = 1\nrandom_test = true\nN_Gibbs = 1\n"
+                   "eps_fac = 0.3\neps_fac_update_type = 3\nmass_type = 1\n"
+                   f"dir = {tmp_path}/\n")
+    prof_dir = tmp_path / "prof"
+    rc = cli.main([str(par), "--samples", "1", "--out", str(tmp_path),
+                   "--no-dashboard", "--profile", str(prof_dir)])
+    assert rc == 0
+    assert prof_dir.exists() and any(prof_dir.rglob("*"))
