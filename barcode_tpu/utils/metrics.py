@@ -44,7 +44,11 @@ def split_rhat(traces: np.ndarray) -> float:
     n_draws] (Gelman+13 / Vehtari+21 split form).  The cross-chain
     convergence diagnostic the single-chain reference cannot produce
     (SURVEY.md §5.8 lists it as a TPU-native addition); R-hat -> 1 at
-    convergence, values > ~1.01-1.1 mean the chains have not mixed."""
+    convergence, values > ~1.01-1.1 mean the chains have not mixed.
+
+    Host-side, edge-case-robust (short/constant traces) variant of the
+    jittable field-level `statistics.gelman_rubin`; used by the runner's
+    stopping rule where NaN/inf semantics must be predictable."""
     x = np.asarray(traces, np.float64)
     if x.ndim != 2:
         raise ValueError("traces must be [n_chains, n_draws]")
