@@ -353,6 +353,17 @@ class Runner:
                 self.dump_sample(next_dump)
                 next_dump += 1 if next_dump < 10 else max(1, conf.outnum)
             self._next_dump = next_dump
+            # mass recompute cadence (Hamiltonian_mass reload, HMC.cc:387-424;
+            # massnum_burn before / massnum_post after burn-in, 0 = never).
+            # Only the signal-dependent masses (likelihood-force types) change.
+            if conf.hmc.mass_type in (2, 3, 60):
+                burned = acc0 >= conf.hmc.s_eps_total(self.g.N)
+                cadence = (conf.hmc.massnum_post if burned
+                           else conf.hmc.massnum_burn)
+                last = getattr(self, "_mass_at_sample", 0)
+                if cadence > 0 and acc0 - last >= cadence:
+                    self.mass = self._compute_mass()
+                    self._mass_at_sample = acc0
             min_acc = int(self.states.accepted.min())
             if dash.enabled:
                 dash.update(stats, self.states, self.metrics.summary(),

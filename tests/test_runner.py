@@ -129,3 +129,21 @@ def test_runner_auto_halo(tmp_path):
     states = r.run(n_samples=1, max_attempts=200, log=False)
     assert int(states.accepted.min()) >= 1
     assert int(r._violations_jit(r.current_signal())) == 0
+
+
+def test_mass_recompute_cadence(tmp_path):
+    """massnum cadence (HMC.cc:387-424): likelihood-force masses recompute
+    during the run; the mass object actually changes."""
+    conf = small_conf(tmp_path)
+    conf = dataclasses.replace(
+        conf, hmc=dataclasses.replace(conf.hmc, mass_type=2, massnum_burn=1,
+                                      massnum_post=1))
+    r = Runner(conf).setup()
+    m0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), r.mass)
+    r.run(n_samples=3, max_attempts=400, log=False)
+    assert getattr(r, "_mass_at_sample", 0) >= 1
+    leaves0 = jax.tree_util.tree_leaves(m0)
+    leaves1 = jax.tree_util.tree_leaves(r.mass)
+    changed = any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1)
+                  if hasattr(a, "shape") and a.shape)
+    assert changed
