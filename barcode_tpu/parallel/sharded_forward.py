@@ -118,8 +118,6 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
 
     def psi_local(delta, nobs, window, noise, power_f):
         dev = jax.lax.axis_index(AXIS)
-        # --- displacement (sharded spectral pipeline) ---
-        F = sf._rfft3_local(-gp.D1 * delta, n_dev, AXIS)
         kx, ky, kz = sf.kvec_sharded(g, n_dev, dev)
         k2 = kx * kx + ky * ky + kz * kz
         guard = k2 > 1e-14
@@ -131,11 +129,38 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
                        0.0, 1.0)[None, :, None]
         mz = jnp.where(jnp.arange(g.N3 // 2 + 1) == g.N3 // 2,
                        0.0, 1.0)[None, None, :]
-        base = (-1j) * F * inv_k2 * (mx * my * mz)
+        # --- LPT divergence (sharded spectral pipeline; mirrors lpt.py) ---
+        if fc.sfmodel == 1:
+            div_C = sf._rfft3_local(-gp.D1 * delta, n_dev, AXIS)
+        else:
+            Fd = sf._rfft3_local(delta, n_dev, AXIS)
+            b2 = Fd * inv_k2
+            dd = lambda ka, kb: sf._irfft3_local(ka * kb * b2, n_dev, g.N3, AXIS)
+            pxx, pyy, pzz = dd(kx, kx), dd(ky, ky), dd(kz, kz)
+            pxy, pxz, pyz = dd(kx, ky), dd(kx, kz), dd(ky, kz)
+            m2v = (pxx * pyy - pxy * pxy + pxx * pzz - pxz * pxz
+                   + pyy * pzz - pyz * pyz)
+            div2 = -gp.D1 * delta + gp.D2 * m2v
+            if fc.sfmodel == 2:
+                div_C = sf._rfft3_local(div2, n_dev, AXIS)
+            else:  # ALPT long/short blend (lpt.alpt_psi)
+                psilin = -gp.D1 * delta
+                arg = 1.0 + (2.0 / 3.0) * psilin
+                div_sc = jnp.where(
+                    arg > 0.0,
+                    3.0 * (jnp.sqrt(jnp.maximum(arg, 0.0)) - 1.0), -3.0)
+                K = jnp.exp(-k2 * (fc.slength * fc.slength) / 2.0)
+                div_C = (K * sf._rfft3_local(div2, n_dev, AXIS)
+                         + (1.0 - K) * sf._rfft3_local(div_sc, n_dev, AXIS))
+        base = (-1j) * div_C * inv_k2 * (mx * my * mz)
         psi_x = sf._irfft3_local(base * kx, n_dev, g.N3, AXIS)
         psi_y = sf._irfft3_local(base * ky, n_dev, g.N3, AXIS)
         psi_z = sf._irfft3_local(base * kz, n_dev, g.N3, AXIS)
         psi = jnp.stack([psi_x, psi_y, psi_z])
+        if fc.sfmodel == 3:
+            # cellbound half-cell average (lpt.cellbound); the +1 x-roll
+            # crosses slab boundaries via a ppermute ring
+            psi = 0.5 * (psi + _roll_x1(jnp.roll(psi, (1, 1), axis=(2, 3))))
         # --- particles + optional RSD ---
         pos = _local_positions_x(g, n_dev, dev, delta.dtype) + psi
         L = jnp.asarray([g.L1, g.L2, g.L3], delta.dtype).reshape(3, 1, 1, 1)
@@ -164,8 +189,17 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     return psi_local
 
 
+def _roll_x1(v, axis_name: str = AXIS):
+    """roll(+1) along the slab-sharded x axis (axis 1 of a stacked field):
+    each device's last x-row becomes the right neighbour's first row."""
+    n_dev = jax.lax.axis_size(axis_name)
+    recv = jax.lax.ppermute(v[:, -1:], axis_name,
+                            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+    return jnp.concatenate([recv, v[:, :-1]], axis=1)
+
+
 def _check_halo(g: GridSpec, fc: ForwardConfig, n_dev: int, halo):
-    assert fc.sfmodel == 1, "sharded path implements Zel'dovich first"
+    assert fc.sfmodel in (1, 2, 3), f"unknown sfmodel {fc.sfmodel}"
     halo = halo if halo is not None else suggest_halo(g)
     assert halo <= g.N1 // n_dev, (
         f"halo ({halo}) must not exceed the slab width ({g.N1 // n_dev}): "

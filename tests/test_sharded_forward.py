@@ -110,3 +110,31 @@ def test_chains_grid_mesh_psi_and_grad():
         g_ref = np.asarray(g_ref)
         np.testing.assert_allclose(np.asarray(grads[c]), g_ref,
                                    atol=3e-3 * np.abs(g_ref).max())
+
+
+@pytest.mark.parametrize("sfmodel", [2, 3])
+def test_sharded_2lpt_alpt_matches_dense(mesh, sfmodel):
+    """Sharded 2LPT/ALPT posterior (+grad) == dense, unlocking config 5
+    (256^3 ALPT) across the 'grid' axis."""
+    P_ = jnp.full(G.rshape, 8.0).at[0, 0, 0].set(0.0)
+    truth = rf.grf(jax.random.key(3), G, P_)
+    fc = ForwardConfig(sfmodel=sfmodel, masskernel="sph_ft", slength=20.0)
+    d_eul = lag2eul(truth, G, fc, GP)
+    nobs = 1.0 + d_eul + 0.4 * jax.random.normal(jax.random.key(4), G.shape)
+    obs = ObsData(nobs=nobs, window=jnp.ones(G.shape),
+                  noise=jnp.full(G.shape, 0.4), power=P_)
+    mc = posterior.ModelConfig(likelihood=1, forward=fc)
+    dense_vg = jax.jit(jax.value_and_grad(
+        lambda d: posterior.make_psi(G, mc, GP, obs)(d)[0]))
+    s = 0.5 * truth
+
+    psi_sh, grad_sh = sfw.make_sharded_psi(G, fc, GP, likelihood=1, mesh=mesh,
+                                           halo=2)
+    obs_sh = sfw.shard_obs(obs, mesh)
+    s_sh = jax.device_put(s, NamedSharding(mesh, P(sfw.AXIS, None, None)))
+    v_ref, g_ref = dense_vg(s)
+    np.testing.assert_allclose(float(psi_sh(s_sh, obs_sh)), float(v_ref),
+                               rtol=5e-4)
+    g_ref = np.asarray(g_ref)
+    np.testing.assert_allclose(np.asarray(grad_sh(s_sh, obs_sh)), g_ref,
+                               atol=5e-3 * np.abs(g_ref).max())
