@@ -86,9 +86,22 @@ def _tsc_w(dx, s):
     return 0.5 * (1.5 - jnp.abs(dx - s)) ** 2
 
 
+def _sub_tile(T: int, weight: int, budget_bytes: int = 6 << 20) -> int:
+    """Largest divisor of T whose one-hot working set (weight rows of f32)
+    fits the VMEM budget; keeps the kernels inside the 16 MB scoped-VMEM
+    limit at any N3 (a 256^3 block overflowed it by 12 KB otherwise)."""
+    t = T
+    while t > 1 and weight * t * 4 > budget_bytes:
+        # T = WY * N3 with power-of-two-ish factors; halving always divides
+        t //= 2
+    return max(t, 1)
+
+
 def _make_kernel(BX, BY, N3, WX, WY):
     nxy = BX * BY
     T = WY * N3  # particles per x-row tile of the window
+    TS = _sub_tile(T, N3 + nxy)
+    n_sub = T // TS
 
     def body(p_ref, out_ref):
         # p_ref block is (6, WX, WY*N3): the (y, z) axes are pre-flattened by
@@ -102,21 +115,22 @@ def _make_kernel(BX, BY, N3, WX, WY):
         # one-hots are built TRANSPOSED (targets on sublanes, particles on
         # lanes): a (T,) lane vector broadcasts to (n, T) for free, whereas
         # (T,) -> (T, 1) is a lane->sublane relayout Mosaic refuses to lower
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (nxy, T), 0)
-        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, T), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (nxy, TS), 0)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
 
-        def row_body(r, acc):
-            bx = p_ref[0, r].reshape(T)
-            by = p_ref[1, r].reshape(T)
-            bz = p_ref[2, r].reshape(T)
-            fx = p_ref[3, r].reshape(T)
-            fy = p_ref[4, r].reshape(T)
-            fz = p_ref[5, r].reshape(T)
+        def tile_acc(r, s, acc):
+            sl = slice(s * TS, (s + 1) * TS)
+            bx = p_ref[0, r, sl].reshape(TS)
+            by = p_ref[1, r, sl].reshape(TS)
+            bz = p_ref[2, r, sl].reshape(TS)
+            fx = p_ref[3, r, sl].reshape(TS)
+            fy = p_ref[4, r, sl].reshape(TS)
+            fz = p_ref[5, r, sl].reshape(TS)
             tx = bx.astype(jnp.int32) - x0
             ty = by.astype(jnp.int32) - y0
             tzi = bz.astype(jnp.int32)
 
-            AT = jnp.zeros((nxy, T), jnp.float32)
+            AT = jnp.zeros((nxy, TS), jnp.float32)
             for ox in (-1, 0, 1):
                 wx = _tsc_w(fx, ox)
                 txo = tx + ox
@@ -129,7 +143,7 @@ def _make_kernel(BX, BY, N3, WX, WY):
                     t = jnp.where(inside, txo * BY + tyo, -1)
                     AT = AT + jnp.where(col_ids == t[None, :], w[None, :], 0.0)
 
-            BT = jnp.zeros((N3, T), jnp.float32)
+            BT = jnp.zeros((N3, TS), jnp.float32)
             for oz in (-1, 0, 1):
                 w = _tsc_w(fz, oz)
                 t = tzi + oz
@@ -140,6 +154,11 @@ def _make_kernel(BX, BY, N3, WX, WY):
             return acc + jax.lax.dot_general(
                 AT, BT, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+
+        def row_body(r, acc):
+            for s in range(n_sub):
+                acc = tile_acc(r, s, acc)
+            return acc
 
         acc = jax.lax.fori_loop(0, WX, row_body,
                                 jnp.zeros((nxy, N3), jnp.float32))
@@ -156,6 +175,8 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
     """
     T = BY * N3
     WXY = WX * WY
+    TS = _sub_tile(T, 3 * WXY + 2 * N3)
+    n_sub = T // TS
 
     def body(p_ref, f_ref, out_ref):
         # p_ref and out_ref have (y, z) pre-flattened (Mosaic reshape limits,
@@ -169,23 +190,24 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
 
         win = f_ref[...].reshape(WXY, N3)
         # transposed one-hots: see _make_kernel for the Mosaic layout rule
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WXY, T), 0)
-        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, T), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WXY, TS), 0)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
 
-        def row_body(r, _):
-            bx = p_ref[0, r].reshape(T)
-            by = p_ref[1, r].reshape(T)
-            bz = p_ref[2, r].reshape(T)
-            fx = p_ref[3, r].reshape(T)
-            fy = p_ref[4, r].reshape(T)
-            fz = p_ref[5, r].reshape(T)
+        def tile(r, s):
+            sl = slice(s * TS, (s + 1) * TS)
+            bx = p_ref[0, r, sl].reshape(TS)
+            by = p_ref[1, r, sl].reshape(TS)
+            bz = p_ref[2, r, sl].reshape(TS)
+            fx = p_ref[3, r, sl].reshape(TS)
+            fy = p_ref[4, r, sl].reshape(TS)
+            fz = p_ref[5, r, sl].reshape(TS)
             tx = bx.astype(jnp.int32) - wx0   # in [1, WX-2] by the contract
             ty = by.astype(jnp.int32) - wy0
             tzi = bz.astype(jnp.int32)
 
-            A_val = jnp.zeros((WXY, T), jnp.float32)
-            A_dx = jnp.zeros((WXY, T), jnp.float32)
-            A_dy = jnp.zeros((WXY, T), jnp.float32)
+            A_val = jnp.zeros((WXY, TS), jnp.float32)
+            A_dx = jnp.zeros((WXY, TS), jnp.float32)
+            A_dy = jnp.zeros((WXY, TS), jnp.float32)
             for ox in (-1, 0, 1):
                 wxo = _tsc_w(fx, ox)
                 dwxo = _tsc_dw(fx, ox)
@@ -199,8 +221,8 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
                     A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[None, :], 0.0)
                     A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[None, :], 0.0)
 
-            B_val = jnp.zeros((N3, T), jnp.float32)
-            B_dz = jnp.zeros((N3, T), jnp.float32)
+            B_val = jnp.zeros((N3, TS), jnp.float32)
+            B_dz = jnp.zeros((N3, TS), jnp.float32)
             for oz in (-1, 0, 1):
                 t = tzi + oz
                 t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
@@ -212,14 +234,18 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
             dot = lambda A: jax.lax.dot_general(
                 win, A, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            MT_val = dot(A_val)   # [N3, T]
+            MT_val = dot(A_val)   # [N3, TS]
             MT_dx = dot(A_dx)
             MT_dy = dot(A_dy)
 
-            out_ref[0, r] = (MT_val * B_val).sum(0)
-            out_ref[1, r] = (MT_dx * B_val).sum(0)
-            out_ref[2, r] = (MT_dy * B_val).sum(0)
-            out_ref[3, r] = (MT_val * B_dz).sum(0)
+            out_ref[0, r, sl] = (MT_val * B_val).sum(0)
+            out_ref[1, r, sl] = (MT_dx * B_val).sum(0)
+            out_ref[2, r, sl] = (MT_dy * B_val).sum(0)
+            out_ref[3, r, sl] = (MT_val * B_dz).sum(0)
+
+        def row_body(r, _):
+            for s in range(n_sub):
+                tile(r, s)
             return 0
 
         jax.lax.fori_loop(0, BX, row_body, 0)
