@@ -150,6 +150,9 @@ class RunConfig:
             sfmodel=_get(p, "sfmodel", int, 1),
             masskernel=_get(p, "masskernel", int, 3),
             rsd=_get(p, "rsd_model", bool, False),
+            rsd_planepar=_get(p, "planepar", bool, True),
+            observer=(_get(p, "xobs", float, 0.0), _get(p, "yobs", float, 0.0),
+                      _get(p, "zobs", float, 0.0)),
             periodic=_get(p, "periodic", bool, True),
             slength=_get(p, "slength", float, 4.0),
             kernel_h_rel=_get(p, "particle_kernel_h_rel", float, 1.0),

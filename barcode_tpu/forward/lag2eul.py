@@ -26,7 +26,9 @@ class ForwardConfig:
 
     sfmodel: int = 1          # 1 Zel'dovich, 2 2LPT, 3 ALPT
     masskernel: object = 3    # 0 ngp / 1 cic / 2 tsc / 3 sph / 'sph_ft'
-    rsd: bool = False         # plane-parallel redshift-space mapping
+    rsd: bool = False         # redshift-space mapping
+    rsd_planepar: bool = True  # plane-parallel (z-axis) vs radial w.r.t.
+    observer: tuple = (0.0, 0.0, 0.0)  # xobs/yobs/zobs (rsd.cc:18-69)
     periodic: bool = True
     slength: float = 4.0      # ALPT long/short split scale [Mpc/h]
     kernel_h_rel: float = 1.0  # SPH kernel scale in mean-cell units
@@ -60,9 +62,13 @@ def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     pos = particles.displace(psi, g)
     if fc.rsd:
         # v = c_pecvel * Psi (Zel'dovich-only velocities, Lag2Eul.cc:375-381)
-        vel_z = gp.cpecvel * psi[2]
-        pos = particles.rsd_plane_parallel(pos, vel_z, g, gp.ascale, gp.hubble,
-                                           fc.periodic)
+        if fc.rsd_planepar:
+            vel_z = gp.cpecvel * psi[2]
+            pos = particles.rsd_plane_parallel(pos, vel_z, g, gp.ascale,
+                                               gp.hubble, fc.periodic)
+        else:
+            pos = particles.rsd_radial(pos, gp.cpecvel * psi, g, fc.observer,
+                                       gp.ascale, gp.hubble)
     mk = {0: "ngp", 1: "cic", 2: "tsc", 3: "sph"}.get(fc.masskernel, fc.masskernel)
     if fc.pallas_deposit and mk in ("tsc", "sph_ft"):
         dep = assign.make_tsc_deposit_fast(g, halo=fc.pallas_halo)

@@ -223,3 +223,37 @@ def test_gradfindif_fourth_order_and_2lpt_scheme():
     num = float(jnp.sqrt(jnp.mean((psi_fft - psi_fd) ** 2)))
     den = float(jnp.sqrt(jnp.mean(psi_fft ** 2)))
     assert num / den < 0.05
+
+
+def test_rsd_radial_matches_plane_parallel_for_distant_observer():
+    """A very distant observer on the z-axis makes the radial mapping
+    converge to the plane-parallel one (rsd.cc:37-57); also reachable from
+    ForwardConfig(rsd_planepar=False, observer=...)."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from barcode_tpu.grid.spec import GridSpec
+    from barcode_tpu.forward import particles
+    from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+    from barcode_tpu import random_fields as rf
+
+    g = GridSpec.cube(16, 32.0)
+    gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.0,
+                      hubble=100.0)
+    P = jnp.full(g.rshape, 0.5).at[0, 0, 0].set(0.0)
+    delta = rf.grf(jax.random.key(0), g, P)
+
+    fc_pp = ForwardConfig(sfmodel=1, masskernel="tsc", rsd=True,
+                          periodic=False)
+    # observer distance: far enough for the plane-parallel limit, close
+    # enough that f32 r+dr keeps ~3 digits of the shift (r*eps << shift)
+    fc_rad = _dc.replace(fc_pp, rsd_planepar=False,
+                         observer=(g.L1 / 2, g.L2 / 2, -1e4))
+    _, pos_pp = lag2eul(delta, g, fc_pp, gp, return_pos=True)
+    _, pos_rad = lag2eul(delta, g, fc_rad, gp, return_pos=True)
+    np.testing.assert_allclose(np.asarray(pos_rad[2]), np.asarray(pos_pp[2]),
+                               atol=6e-3)
+    # x/y unchanged up to the tiny transverse component (~ shift * L/(2 r))
+    np.testing.assert_allclose(np.asarray(pos_rad[:2]), np.asarray(pos_pp[:2]),
+                               atol=6e-3)
