@@ -42,6 +42,13 @@ def main(argv=None):
                    help="capture a jax.profiler trace of the run into DIR "
                         "(the timers/flamegraph view the reference lacks, "
                         "SURVEY.md §5.1)")
+    p.add_argument("--sharded", action="store_true",
+                   help="config-5 mode: slab-shard every field over a "
+                        "('chains','grid') device mesh (grids too large for "
+                        "one chip); devices/chains slabs per chain")
+    p.add_argument("--halo", type=int, default=None,
+                   help="deposit halo cells for --sharded (default: "
+                        "displacement-bound heuristic)")
     args = p.parse_args(argv)
 
     if Path(args.input_par).exists():
@@ -49,6 +56,21 @@ def main(argv=None):
     else:
         print(f"note: {args.input_par} not found, using built-in defaults")
         conf = RunConfig()
+
+    if args.sharded:
+        import dataclasses
+
+        from barcode_tpu.parallel.sharded_runner import ShardedRunner
+        if args.chains:
+            conf = dataclasses.replace(conf, n_chains=args.chains)
+        runner = ShardedRunner(conf, out_dir=args.out, halo=args.halo).setup()
+        if args.resume or args.restart_iteration is not None:
+            runner.restore()
+        try:
+            runner.run(n_samples=args.samples)
+        finally:
+            runner.checkpoint()
+        return 0
 
     runner = Runner(conf, out_dir=args.out).setup(n_chains=args.chains)
     if args.resume or args.restart_iteration is not None:

@@ -1,0 +1,291 @@
+"""Runner-level config-5 sampling mode: HMC on the ('chains','grid') mesh.
+
+The session-level counterpart of runner.Runner for grids that exceed one
+chip (BASELINE ladder config 5): mock/observed-data setup, per-chain initial
+guesses, the sharded attempt loop (parallel/sharded_sampler.py), the
+reference's adaptive step-size controllers applied per chain *between*
+jitted attempts, performance logging, periodic sample dumps and a
+single-file checkpoint.
+
+Parity: this covers the barcoderunner Gibbs loop responsibilities
+(/root/reference/barlib/src/barcoderunner.cc:364-544) for the sharded
+engine; the reference itself has no distributed mode of any kind
+(SURVEY.md §2.12/§5.7), so the mesh layout here is new TPU-native design:
+chains are data-parallel over the 'chains' axis, every field is x-slab
+sharded over the 'grid' axis, and the posterior gradient flows through the
+sharded FFT / halo-exchange deposit pipeline.
+
+Scope notes (documented limits, not silent gaps):
+  * Fourier-space masses only (mass_type 1/4) — the sharded attempt applies
+    M^-1 as a spectral multiply; real-space/Jasche masses stay dense-mode.
+  * Mock generation and dumps run dense on the host at setup/output time
+    (one-off, not in the sampling hot path).
+  * The Pallas deposit is a dense-mode optimization; the sharded deposit is
+    the XLA windowed scatter with ppermute halo folding.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from barcode_tpu import io as bio
+from barcode_tpu import mock as mock_mod
+from barcode_tpu import random_fields
+from barcode_tpu.config import RunConfig
+from barcode_tpu.grid import fourier
+from barcode_tpu.hmc import adapt, mass as mass_mod
+from barcode_tpu.model.likelihoods import ObsData
+from barcode_tpu.parallel import sharded_forward as sfw
+from barcode_tpu.parallel import sharded_sampler as ss
+from barcode_tpu.parallel.sharded_forward import AXIS
+
+PERFLOG_COLUMNS = ["accepted", "epsilon", "Neps", "dH"]
+
+
+def default_mesh(n_chains: int) -> Mesh:
+    """All local devices as a (chains, grid) grid — grid axis gets the rest."""
+    devs = np.asarray(jax.devices())
+    if len(devs) % n_chains != 0:
+        raise ValueError(f"{len(devs)} devices not divisible by "
+                         f"{n_chains} chains")
+    return Mesh(devs.reshape(n_chains, -1), axis_names=("chains", AXIS))
+
+
+class ShardedRunner:
+    def __init__(self, conf: RunConfig, mesh: Mesh | None = None,
+                 out_dir: str | None = None, halo: int | None = None):
+        if conf.hmc.mass_type not in (1, 4):
+            raise ValueError("sharded mode supports Fourier-space masses "
+                             f"(mass_type 1/4), got {conf.hmc.mass_type}")
+        self.conf = conf
+        self.g = conf.grid
+        self.gp = conf.growth()
+        self.mesh = mesh if mesh is not None else default_mesh(conf.n_chains)
+        self.n_chains = self.mesh.shape["chains"]
+        self.halo = halo
+        self.dir = Path(out_dir if out_dir is not None else conf.dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.key = jax.random.key(conf.seed)
+        self.obs = None          # dense ObsData (host/setup copy)
+        self.obs_sh = None       # sharded layout
+        self.truth = None
+        self.state = None        # sharded chain-state dict
+        self.mass_f = None       # sharded FS mass spectrum
+        self._attempt = None
+        self._perflog = None
+        self._next_dump = 1
+        self._spec_jit = jax.jit(
+            lambda x: fourier.measure_spectrum(x, self.g, self.conf.N_bin))
+
+    # -- setup -------------------------------------------------------------
+
+    def _load_power(self):
+        if self.conf.readPS and self.conf.fnamePS:
+            k_t, p_t = bio.read_powspec_table(self.conf.fnamePS)
+        else:
+            from barcode_tpu import cosmo as cosmo_mod
+            c = self.conf.cosmo()
+            k_t = np.logspace(-4, 2, 1024)
+            p_t = cosmo_mod.linear_power(c, k_t)
+        return fourier.power_table_to_rfft_grid(
+            jnp.asarray(k_t, jnp.float32), jnp.asarray(p_t, jnp.float32),
+            self.g)
+
+    def _initial_guess(self, key, power):
+        """make_initial_guess (barcoderunner.cc:207-247), dense at setup."""
+        conf, ig = self.conf, self.conf.initial_guess
+        if ig == 0:
+            return jnp.zeros(self.g.shape)
+        if ig == 1:
+            return jnp.asarray(bio.read_array(
+                self.dir / conf.initial_guess_file, self.g.shape))
+        if ig in (2, 3):
+            def make(k):
+                s = random_fields.grf(k, self.g, power)
+                if ig == 3:
+                    s = fourier.smooth(s, self.g,
+                                       conf.initial_guess_smoothing_scale,
+                                       conf.initial_guess_smoothing_type)
+                return s
+            return jax.jit(make)(key)
+        if ig == 4:
+            return jax.jit(
+                lambda k: 0.1 * jax.random.normal(k, self.g.shape))(key)
+        raise ValueError(f"invalid initial_guess {ig}")
+
+    def setup(self):
+        conf = self.conf
+        g, gp, mesh = self.g, self.gp, self.mesh
+        fc = conf.model.forward
+        power = jax.jit(self._load_power)()
+        self.key, k_mock, k_guess, k_chains = jax.random.split(self.key, 4)
+
+        if conf.mock.random_test:
+            md = jax.jit(lambda k: mock_mod.generate(
+                k, g, conf.mock, fc, gp, power, conf.model.likelihood,
+                delta_min=conf.delta_min))(k_mock)
+            mock_mod.validate(md, conf.model.likelihood)
+            self.obs, self.truth = md.obs, md.truth_lag
+            bio.write_array(self.dir / "deltaLAGtest", np.asarray(md.truth_lag))
+            bio.write_array(self.dir / "nobs", np.asarray(md.obs.nobs))
+        else:
+            shape = g.shape
+            win = jnp.asarray(bio.read_array(self.dir / "win", shape))
+            nobs = jnp.asarray(bio.read_array(self.dir / "nobs", shape))
+            sigma = jnp.asarray(bio.read_array(self.dir / "sigma", shape))
+            self.obs = ObsData(nobs=nobs, window=win, noise=sigma,
+                               power=power, delta_min=conf.delta_min)
+        self.obs_sh = sfw.shard_obs_chains(self.obs, mesh)
+
+        # per-chain over-dispersed starts (stochastic guesses), as in
+        # runner.Runner.setup
+        if conf.initial_guess in (2, 3, 4):
+            gkeys = jax.random.split(k_guess, self.n_chains)
+            batch = jnp.stack([self._initial_guess(k, power) for k in gkeys])
+        else:
+            batch = jnp.stack([self._initial_guess(k_guess, power)]
+                              * self.n_chains)
+        batch = jax.device_put(
+            batch, NamedSharding(mesh, P("chains", AXIS, None, None)))
+
+        vg = sfw.make_sharded_psi_vg_chains(
+            g, fc, gp, conf.model.likelihood, mesh, halo=self.halo)
+        vals, grads = vg(batch, self.obs_sh)
+        self._vg = vg
+
+        seeds = (conf.seed + 1 + jnp.arange(self.n_chains)).astype(jnp.uint32)
+        eps0 = jnp.full(self.n_chains, conf.hmc.eps_fac_target(g.N),
+                        jnp.float32)
+        self.state = ss.shard_chain_state(
+            ss.init_chain_state(batch, vals, grads, seeds, eps0), mesh)
+
+        mass = mass_mod.compute_mass(g, conf.hmc.mass_type, power,
+                                     nbin=conf.N_bin,
+                                     mass_factor=conf.hmc.mass_factor)
+        self.mass_f = jax.device_put(
+            mass.mass_f, NamedSharding(mesh, P(None, AXIS, None)))
+
+        self._attempt = ss.make_sharded_attempt(
+            g, fc, gp, conf.model.likelihood, conf.hmc, mesh, halo=self.halo)
+        self._init_adaptation()
+        return self
+
+    # -- adaptive step size (between jitted attempts) ------------------------
+
+    def _init_adaptation(self):
+        hc, nc = self.conf.hmc, self.n_chains
+        n_a = hc.N_a_eps_update
+        self._tables = {
+            "acc_flags": jnp.zeros((nc, n_a), jnp.int32),
+            "eps_table": jnp.full((nc, n_a), hc.eps_fac_target(self.g.N),
+                                  jnp.float32),
+            "count": jnp.zeros(nc, jnp.int32),
+            "rejections": jnp.zeros(nc, jnp.int32),
+            "first": jnp.zeros(nc, bool),
+        }
+        hcN, N = hc, self.g.N
+
+        @jax.jit
+        def post(tables, eps_fac, acc, eps):
+            """Record the attempt in the circular tables, then run the
+            per-chain controller (update_eps_fac, time_step.cpp:151-185)."""
+            ix = tables["count"] % hcN.N_a_eps_update
+            rows = jnp.arange(acc.shape[0])
+            t = {
+                "acc_flags": tables["acc_flags"].at[rows, ix].set(
+                    acc.astype(jnp.int32)),
+                "eps_table": tables["eps_table"].at[rows, ix].set(eps),
+                "count": tables["count"] + 1,
+                "rejections": tables["rejections"] + (~acc).astype(jnp.int32),
+                "first": tables["first"] | acc,
+            }
+            new_eps = jax.vmap(
+                lambda ef, ca, rj, gf, af, et: adapt.update_eps_fac(
+                    ef, ca, rj, gf, af, et, hcN, N)
+            )(eps_fac, t["count"], t["rejections"], t["first"],
+              t["acc_flags"], t["eps_table"])
+            return t, new_eps
+
+        self._post_jit = post
+
+    # -- outputs -------------------------------------------------------------
+
+    def _log_attempt(self, stats):
+        if self._perflog is None:
+            path = self.dir / "performance_log.txt"
+            new = not path.exists()
+            self._perflog = open(path, "a")
+            if new:
+                self._perflog.write("# " + "\t".join(PERFLOG_COLUMNS) + "\n")
+        row = [float(np.asarray(stats[c])[0]) for c in PERFLOG_COLUMNS]
+        self._perflog.write("\t".join(f"{v:.6g}" for v in row) + "\n")
+        self._perflog.flush()
+
+    def dump_sample(self, iteration: int, chain: int = 0):
+        s = np.asarray(self.state["delta"][chain])
+        bio.write_array(self.dir / f"deltaLAG_{iteration}", s)
+        km, pw, _ = self._spec_jit(jnp.asarray(s))
+        bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+
+    # -- sampling loop -------------------------------------------------------
+
+    def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
+            log: bool = True):
+        conf = self.conf
+        n_samples = n_samples if n_samples is not None else conf.N_Gibbs
+        attempts = 0
+        while attempts < max_attempts:
+            if (self.dir / "fastexit").exists():
+                print("fastexit sentinel found — stopping cleanly")
+                break
+            self.state, stats = self._attempt(self.state, self.obs_sh,
+                                              self.mass_f)
+            attempts += 1
+            if log:
+                self._log_attempt(stats)
+            self._tables, new_eps = self._post_jit(
+                self._tables, self.state["eps_fac"], stats["accepted"],
+                stats["epsilon"])
+            self.state["eps_fac"] = jax.device_put(
+                new_eps, NamedSharding(self.mesh, P("chains")))
+            acc0 = int(np.asarray(self.state["accepted"])[0])
+            while acc0 >= self._next_dump and self._next_dump <= n_samples:
+                self.dump_sample(self._next_dump)
+                self._next_dump += (1 if self._next_dump < 10
+                                    else max(1, conf.outnum))
+            min_acc = int(np.asarray(self.state["accepted"]).min())
+            if min_acc >= n_samples:
+                break
+            if conf.hmc.total_steps_lim and attempts >= conf.hmc.total_steps_lim:
+                raise RuntimeError("ABORTING: total steps exceeds "
+                                   "total_steps_lim (HMC.cc:533-535)")
+        return self.state
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def checkpoint(self, path=None):
+        path = Path(path or (self.dir / "checkpoint_sharded.npz"))
+        arrs = {f"state_{k}": np.asarray(v) for k, v in self.state.items()}
+        arrs.update({f"tab_{k}": np.asarray(v)
+                     for k, v in self._tables.items()})
+        np.savez(path, **arrs)
+        path.with_suffix(".json").write_text(json.dumps(
+            {"next_dump": self._next_dump, "seed": self.conf.seed}))
+        return path
+
+    def restore(self, path=None):
+        path = Path(path or (self.dir / "checkpoint_sharded.npz"))
+        data = np.load(path)
+        meta = json.loads(path.with_suffix(".json").read_text())
+        state = {k[len("state_"):]: jnp.asarray(v) for k, v in data.items()
+                 if k.startswith("state_")}
+        self.state = ss.shard_chain_state(state, self.mesh)
+        self._tables = {k[len("tab_"):]: jnp.asarray(v)
+                        for k, v in data.items() if k.startswith("tab_")}
+        self._next_dump = int(meta["next_dump"])
+        return self
