@@ -32,9 +32,10 @@ from jax._src.pallas.core import Element
 from barcode_tpu.grid.spec import GridSpec
 
 
-def _phase_a(pos, g: GridSpec, halo: int):
+def _phase_a(pos, g: GridSpec, halo: int, weights=None):
     """Per-particle base cells (x/y adjusted-padded, z raw) and fracs,
-    stacked as one (6, N1+2H, N2+2H, N3) float32 array."""
+    stacked as one (6, N1+2H, N2+2H, N3) float32 array — 7 channels when
+    per-particle `weights` (grid shape) are given (channel 6 = weight)."""
     d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
     u = pos / d
     base = jnp.floor(u)
@@ -55,14 +56,18 @@ def _phase_a(pos, g: GridSpec, halo: int):
     by = unwrap(base[1], qy, g.N2)
     bz = jnp.mod(base[2], g.N3).astype(jnp.float32)
 
-    stack = jnp.stack([bx, by, bz, frac[0], frac[1], frac[2]])
+    chans = [bx, by, bz, frac[0], frac[1], frac[2]]
+    if weights is not None:
+        chans.append(weights.astype(jnp.float32))
+    nc = len(chans)
+    stack = jnp.stack(chans)
 
     # wrapped copies carry adjusted base coords (+-N) so the kernel's
     # local-target arithmetic needs no modulo in x/y
-    adj_x = jnp.asarray([g.N1, 0, 0, 0, 0, 0], jnp.float32).reshape(6, 1, 1, 1)
+    adj_x = jnp.zeros(nc, jnp.float32).at[0].set(g.N1).reshape(nc, 1, 1, 1)
     stack = jnp.concatenate(
         [stack[:, -halo:] - adj_x, stack, stack[:, :halo] + adj_x], axis=1)
-    adj_y = jnp.asarray([0, g.N2, 0, 0, 0, 0], jnp.float32).reshape(6, 1, 1, 1)
+    adj_y = jnp.zeros(nc, jnp.float32).at[1].set(g.N2).reshape(nc, 1, 1, 1)
     stack = jnp.concatenate(
         [stack[:, :, -halo:] - adj_y, stack, stack[:, :, :halo] + adj_y], axis=2)
     return stack
@@ -97,7 +102,7 @@ def _sub_tile(T: int, weight: int, budget_bytes: int = 6 << 20) -> int:
     return max(t, 1)
 
 
-def _make_kernel(BX, BY, N3, WX, WY):
+def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False):
     nxy = BX * BY
     T = WY * N3  # particles per x-row tile of the window
     TS = _sub_tile(T, N3 + nxy)
@@ -143,9 +148,11 @@ def _make_kernel(BX, BY, N3, WX, WY):
                     t = jnp.where(inside, txo * BY + tyo, -1)
                     AT = AT + jnp.where(col_ids == t[None, :], w[None, :], 0.0)
 
+            wm = p_ref[6, r, sl].reshape(TS) if weighted else 1.0
             BT = jnp.zeros((N3, TS), jnp.float32)
             for oz in (-1, 0, 1):
-                w = _tsc_w(fz, oz)
+                # per-particle mass folds into the z one-hot (one multiply)
+                w = wm * _tsc_w(fz, oz)
                 t = tzi + oz
                 t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
                 BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
@@ -299,8 +306,10 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
 
 
 def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
-                       interpret: bool = False):
-    """TSC deposit via the Pallas block kernel.
+                       interpret: bool = False, weights=None):
+    """TSC deposit via the Pallas block kernel; optional per-particle
+    `weights` (grid shape — particle masses, getDensity_* mass arrays, or
+    gather-adjoint cotangents).
 
     Requires |base - q| <= halo - 1 cells in x and y per particle (check
     with `deposit_violations`); breached particles are dropped.
@@ -312,19 +321,20 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     # with BY a multiple of 8, round the halo up to a multiple of 4
     halo = -(-halo // 4) * 4
     WX, WY = BX + 2 * halo, BY + 2 * halo
-    part = _phase_a(pos, g, halo)  # (6, N1+2H, N2+2H, N3)
+    part = _phase_a(pos, g, halo, weights)  # (6 or 7, N1+2H, N2+2H, N3)
+    nc = part.shape[0]
     # flatten (y, z) so the kernel's per-row tiles are 1-D without any
     # Mosaic-unsupported sublane+lane merge inside the kernel
-    part = part.reshape(6, part.shape[1], -1)
+    part = part.reshape(nc, part.shape[1], -1)
 
     grid = (g.N1 // BX, g.N2 // BY)
     # Mosaic: all dims must be Element when any is
     in_spec = pl.BlockSpec(
-        (Element(6), Element(WX), Element(WY * g.N3)),
+        (Element(nc), Element(WX), Element(WY * g.N3)),
         index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
     )
     return pl.pallas_call(
-        _make_kernel(BX, BY, g.N3, WX, WY),
+        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None),
         out_shape=jax.ShapeDtypeStruct(g.shape, jnp.float32),
         grid=grid,
         in_specs=[in_spec],

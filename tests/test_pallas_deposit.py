@@ -126,3 +126,27 @@ def test_pallas_deposit_vmap_batching():
     # and the vjp batches too
     g_b = jax.jit(jax.vmap(jax.grad(lambda p: dep(p).sum())))(poss)
     assert np.isfinite(np.asarray(g_b)).all()
+
+
+def test_pallas_deposit_weighted_matches_xla():
+    """Per-particle masses (weights grid): Pallas == XLA weighted scatter."""
+    pos, _ = displaced_positions(key=7)
+    w = 0.5 + jax.random.uniform(jax.random.key(8), G.shape)
+    ref = np.asarray(assign.tsc_deposit(pos, G, weights=w))
+    out = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True,
+                                           weights=w))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # weighted sum is conserved (every particle inside the halo contract)
+    np.testing.assert_allclose(out.sum(), float(w.sum()), rtol=1e-5)
+
+
+def test_pallas_deposit_weighted_is_gather_adjoint():
+    """<deposit_w(pos), f> == <w, gather(f, pos)> — the weighted deposit is
+    the exact adjoint of the TSC gather (scatter of cotangents)."""
+    pos, _ = displaced_positions(key=9)
+    w = jax.random.normal(jax.random.key(10), G.shape)
+    f = jax.random.normal(jax.random.key(11), G.shape)
+    lhs = float(jnp.sum(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True,
+                                              weights=w) * f))
+    rhs = float(jnp.sum(w * assign.tsc_gather(f, pos, G)))
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-4)
