@@ -113,7 +113,10 @@ def spherical_collapse_div_psi(delta1, g: GridSpec, D1: float):
     psi_lin = -D1 delta1 (Lag2Eul.cc:226-247)."""
     psilin = -D1 * delta1
     arg = 1.0 + (2.0 / 3.0) * psilin
-    return jnp.where(arg > 0.0, 3.0 * (jnp.sqrt(jnp.maximum(arg, 0.0)) - 1.0), -3.0)
+    # double-where: the masked branch must never see sqrt(<=0), or its NaN
+    # cotangent (0/sqrt(0)) poisons the gradient at collapsed cells
+    safe = jnp.where(arg > 0.0, arg, 1.0)
+    return jnp.where(arg > 0.0, 3.0 * (jnp.sqrt(safe) - 1.0), -3.0)
 
 
 def cellbound(v):

@@ -305,6 +305,143 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     return out.at[1:].divide(d)
 
 
+def displacement_bound_cells(delta, g: GridSpec, fc, gp) -> int:
+    """Measured halo contract: max |x/y cell offset| of the lag2eul particle
+    map for `delta`, + TSC reach + sampling margin.  Run once at setup on
+    the mock truth (dense; fc is forced to rsd=False, XLA deposit).  The
+    4-sigma a-priori formula oversizes the kernel halo ~2.5x (PLAN.md)."""
+    import dataclasses
+
+    from barcode_tpu.forward.lag2eul import lag2eul
+
+    fc_norsd = dataclasses.replace(fc, rsd=False, pallas_deposit=False)
+
+    @jax.jit
+    def max_off(s):
+        _, pos = lag2eul(s, g, fc_norsd, gp, return_pos=True)
+        d = jnp.asarray(g.cell, pos.dtype).reshape(3, 1, 1, 1)
+        base = jnp.floor(pos / d)
+        q = jnp.stack(jnp.meshgrid(
+            jnp.arange(g.N1), jnp.arange(g.N2), jnp.arange(g.N3),
+            indexing="ij")).astype(pos.dtype)
+        off = base - q
+        L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
+        off = jnp.mod(off + L / 2, L) - L / 2
+        return jnp.max(jnp.abs(off[:2]))
+
+    return int(float(max_off(delta))) + 4  # bound + reach + margin
+
+
+# ---------------------------------------------------------------------------
+# Slab variants (sharded forward model, parallel/sharded_forward.py)
+# ---------------------------------------------------------------------------
+
+def _slab_channels(pos, g: GridSpec, n1_loc: int, devf, weights=None):
+    """Per-particle channels for slab-local particles: bx in *slab-local*
+    unwrapped coords (own row + min-image offset, may be negative or beyond
+    n1_loc near the edges), by global-unwrapped, bz wrapped, fracs.  `devf`
+    is the device's 'grid' axis index as a float scalar (traced inside
+    shard_map)."""
+    d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
+    u = pos / d
+    base = jnp.floor(u)
+    frac = (u - base - 0.5).astype(jnp.float32)
+    qx = jnp.arange(n1_loc, dtype=pos.dtype)[:, None, None]
+    offx = jnp.mod(base[0] - (devf * n1_loc + qx) + g.N1 / 2.0,
+                   g.N1) - g.N1 / 2.0
+    bx = (qx + offx).astype(jnp.float32)
+    qy = jnp.arange(g.N2, dtype=pos.dtype)[None, :, None]
+    offy = jnp.mod(base[1] - qy + g.N2 / 2.0, g.N2) - g.N2 / 2.0
+    by = (qy + offy).astype(jnp.float32)
+    bz = jnp.mod(base[2], g.N3).astype(jnp.float32)
+    chans = [bx, by, bz, frac[0], frac[1], frac[2]]
+    if weights is not None:
+        chans.append(weights.astype(jnp.float32))
+    return jnp.stack(chans)
+
+
+def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
+                            block: tuple = (8, 8), interpret: bool = False,
+                            weights=None):
+    """TSC deposit of slab-local particles into an *extended* x buffer
+    [halo + n1_loc + halo, N2, N3]; fold the margins into the neighbours with
+    a ppermute halo exchange afterwards (sharded_forward._halo_exchange_add).
+
+    Reuses the full-grid block kernel: output blocks tile the extended
+    buffer; the particle window is the same stack padded with DEAD rows in x
+    (their bx sentinel never matches a block target) and periodic copies in
+    y.  Halo contract as in tsc_deposit_pallas: |base - q| <= halo - 1.
+    """
+    BX, BY = block
+    assert halo % 4 == 0 and halo > 0, "slab pallas halo: positive, mult of 4"
+    n1_ext = n1_loc + 2 * halo
+    assert n1_ext % BX == 0 and g.N2 % BY == 0, (n1_ext, BX, g.N2, BY)
+    WX, WY = BX + 2 * halo, BY + 2 * halo
+    stack = _slab_channels(pos, g, n1_loc, devf, weights)
+    nc = stack.shape[0]
+    # bx -> extended-buffer coords (local row r lives at ext row r + halo)
+    stack = stack.at[0].add(float(halo))
+    # x: dead padding — 2*halo rows each side so window [I*BX, I*BX+WX) of
+    # the padded array covers exactly the contributing local rows
+    dead = jnp.zeros((nc, 2 * halo, g.N2, g.N3), jnp.float32).at[0].set(-1e6)
+    stack = jnp.concatenate([dead, stack, dead], axis=1)
+    # y: periodic copies with +-N2 base adjustment (as _phase_a)
+    adj_y = jnp.zeros(nc, jnp.float32).at[1].set(g.N2).reshape(nc, 1, 1, 1)
+    stack = jnp.concatenate(
+        [stack[:, :, -halo:] - adj_y, stack, stack[:, :, :halo] + adj_y],
+        axis=2)
+    part = stack.reshape(nc, stack.shape[1], -1)
+
+    grid = (n1_ext // BX, g.N2 // BY)
+    in_spec = pl.BlockSpec(
+        (Element(nc), Element(WX), Element(WY * g.N3)),
+        index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
+    )
+    return pl.pallas_call(
+        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None),
+        out_shape=jax.ShapeDtypeStruct((n1_ext, g.N2, g.N3), jnp.float32),
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=pl.BlockSpec((BX, BY, g.N3), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(part)
+
+
+def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
+                                 devf, halo: int, block: tuple = (8, 8),
+                                 interpret: bool = False):
+    """(value, dV/dx, dV/dy, dV/dz) gathers of an extended-slab field at
+    slab-local particle positions — the exact adjoint of
+    tsc_deposit_pallas_slab w.r.t. the extended buffer.  Shape
+    (4, n1_loc, N2, N3); gradients are per physical position."""
+    BX, BY = block
+    assert halo % 4 == 0 and halo > 0
+    assert n1_loc % BX == 0 and g.N2 % BY == 0
+    WX, WY = BX + 2 * halo, BY + 2 * halo
+    part = _slab_channels(pos, g, n1_loc, devf)
+    part = part.reshape(6, n1_loc, g.N2 * g.N3)
+    # field is the extended buffer: x margins already present; y wraps
+    fpad = jnp.concatenate(
+        [ext_field[:, -halo:], ext_field, ext_field[:, :halo]], axis=1)
+
+    grid = (n1_loc // BX, g.N2 // BY)
+    out = pl.pallas_call(
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo),
+        out_shape=jax.ShapeDtypeStruct((4, n1_loc, g.N2 * g.N3), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, BX, BY * g.N3), lambda i, j: (0, i, j)),
+            pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
+                         index_map=lambda i, j: (i * BX, j * BY, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, BX, BY * g.N3), lambda i, j: (0, i, j)),
+        interpret=interpret,
+    )(part, fpad)
+    out = out.reshape((4, n1_loc, g.N2, g.N3))
+    d = jnp.asarray(g.cell, jnp.float32).reshape(3, 1, 1, 1)
+    return out.at[1:].divide(d)
+
+
 def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
                        interpret: bool = False, weights=None):
     """TSC deposit via the Pallas block kernel; optional per-particle

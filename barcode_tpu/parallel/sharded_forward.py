@@ -80,8 +80,13 @@ def _deposit_local(pos, g: GridSpec, fc: ForwardConfig, halo: int, n_dev: int, d
     # of their home slab by the halo contract)
     slab_start = dev * n1_loc
     bx_glob = jnp.floor(u[0])
-    off = bx_glob - slab_start
-    off = jnp.mod(off + g.N1 / 2.0, g.N1) - g.N1 / 2.0  # min-image
+    # min-image offset relative to the particle's OWN local row (not the slab
+    # start: that breaks when the slab spans more than half the box, e.g. a
+    # 1-device mesh), then back to slab coordinates
+    qx = jnp.arange(n1_loc, dtype=pos.dtype).reshape(-1, 1, 1)
+    offq = jnp.mod(bx_glob - (slab_start + qx) + g.N1 / 2.0,
+                   g.N1) - g.N1 / 2.0
+    off = qx + offq
     bx_ext = jnp.clip(off + halo, 0, n1_loc + 2 * halo - 1).astype(jnp.int32)
     base_y = jnp.mod(jnp.floor(u[1]).astype(jnp.int32), g.N2)
     base_z = jnp.mod(jnp.floor(u[2]).astype(jnp.int32), g.N3)
@@ -110,11 +115,55 @@ def _deposit_local(pos, g: GridSpec, fc: ForwardConfig, halo: int, n_dev: int, d
     return _halo_exchange_add(ext, halo)
 
 
+def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
+                              interpret: bool | None = None,
+                              block: tuple = (8, 8)):
+    """Slab-local Pallas TSC deposit (pos, devf) -> extended x buffer, with
+    an exact custom VJP via the windowed slab gather kernel.  `devf` is the
+    'grid' axis index as float (a regular argument, not a closure, so the
+    custom_vjp never captures a shard_map tracer); its cotangent is zero.
+
+    The ring-exchange fold stays *outside* (plain jnp ops, ppermute has a
+    transpose), so jax.grad of the folded density reaches this VJP with the
+    extended-buffer cotangent the gather kernel expects."""
+    from barcode_tpu.forward import pallas_deposit as _pd
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n1_loc = g.N1 // n_dev
+    halo4 = -(-halo // 4) * 4  # Mosaic: WY must divide by 8
+    assert halo4 <= n1_loc, (
+        f"pallas slab halo ({halo4}, rounded to a multiple of 4) must not "
+        f"exceed the slab width ({n1_loc}): the ring exchange only reaches "
+        "adjacent slabs")
+
+    @jax.custom_vjp
+    def dep(pos, devf):
+        return _pd.tsc_deposit_pallas_slab(
+            pos, g, n1_loc, devf, halo4, block=block, interpret=interpret)
+
+    def dep_fwd(pos, devf):
+        return dep(pos, devf), (pos, devf)
+
+    def dep_bwd(res, cot):
+        pos, devf = res
+        out = _pd.tsc_gather_grads_pallas_slab(
+            cot, pos, g, n1_loc, devf, halo4, block=block, interpret=interpret)
+        return out[1:], jnp.zeros_like(devf)
+
+    dep.defvjp(dep_fwd, dep_bwd)
+    return dep, halo4
+
+
 def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
                     likelihood: int, halo: int, n_dev: int):
     """The slab-local posterior body shared by the ('grid',) and
     ('chains','grid') entry points; collectives run over AXIS only."""
     h = kernel_h(fc, g)
+    use_pallas = bool(getattr(fc, "pallas_deposit", False)) and \
+        fc.masskernel in ("tsc", "sph_ft")
+    if use_pallas:
+        pallas_dep, halo = _make_pallas_slab_deposit(g, halo, n_dev)
 
     def psi_local(delta, nobs, window, noise, power_f):
         dev = jax.lax.axis_index(AXIS)
@@ -146,9 +195,10 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
             else:  # ALPT long/short blend (lpt.alpt_psi)
                 psilin = -gp.D1 * delta
                 arg = 1.0 + (2.0 / 3.0) * psilin
+                # double-where against NaN cotangents (see lpt.div_psi_sc)
+                safe_arg = jnp.where(arg > 0.0, arg, 1.0)
                 div_sc = jnp.where(
-                    arg > 0.0,
-                    3.0 * (jnp.sqrt(jnp.maximum(arg, 0.0)) - 1.0), -3.0)
+                    arg > 0.0, 3.0 * (jnp.sqrt(safe_arg) - 1.0), -3.0)
                 K = jnp.exp(-k2 * (fc.slength * fc.slength) / 2.0)
                 div_C = (K * sf._rfft3_local(div2, n_dev, AXIS)
                          + (1.0 - K) * sf._rfft3_local(div_sc, n_dev, AXIS))
@@ -169,7 +219,11 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
             f1 = gp.cpecvel / (gp.hubble * gp.ascale)
             pos = pos.at[2].set(jnp.mod(pos[2] + f1 * psi[2], g.L3))
         # --- halo deposit ---
-        rho = _deposit_local(pos, g, fc, halo, n_dev, dev)
+        if use_pallas:
+            ext = pallas_dep(pos, dev.astype(jnp.float32))
+            rho = _halo_exchange_add(ext, halo)
+        else:
+            rho = _deposit_local(pos, g, fc, halo, n_dev, dev)
         if fc.masskernel == "sph_ft":
             W4 = _w4_sharded(g, n_dev, dev, h)
             Fr = sf._rfft3_local(rho, n_dev, AXIS)

@@ -20,8 +20,10 @@ Scope notes (documented limits, not silent gaps):
     M^-1 as a spectral multiply; real-space/Jasche masses stay dense-mode.
   * Mock generation and dumps run dense on the host at setup/output time
     (one-off, not in the sampling hot path).
-  * The Pallas deposit is a dense-mode optimization; the sharded deposit is
-    the XLA windowed scatter with ppermute halo folding.
+  * ForwardConfig.pallas_deposit routes the sharded deposit through the
+    Pallas slab kernels (7.9x the XLA windowed scatter at 256^3 on v5e);
+    halo=None resolves to the measured displacement bound of the mock
+    truth when available, else suggest_halo.
 """
 from __future__ import annotations
 
@@ -141,6 +143,14 @@ class ShardedRunner:
             self.obs = ObsData(nobs=nobs, window=win, noise=sigma,
                                power=power, delta_min=conf.delta_min)
         self.obs_sh = sfw.shard_obs_chains(self.obs, mesh)
+
+        # auto-halo: with the Pallas slab deposit the kernel cost scales
+        # ~linearly with the halo, so measure the true displacement bound
+        # from the mock truth instead of the a-priori sigma formula
+        if self.halo is None and getattr(fc, "pallas_deposit", False) \
+                and self.truth is not None:
+            from barcode_tpu.forward import pallas_deposit as _pd
+            self.halo = _pd.displacement_bound_cells(self.truth, g, fc, gp)
 
         # per-chain over-dispersed starts (stochastic guesses), as in
         # runner.Runner.setup

@@ -95,23 +95,8 @@ class Runner:
         fwd = self.conf.model.forward
         if not (fwd.pallas_deposit and fwd.pallas_halo <= 0):
             return
-        g = self.g
-        fwd_norsd = dataclasses.replace(fwd, rsd=False, pallas_deposit=False)
-
-        @jax.jit
-        def max_off(s):
-            _, pos = lag2eul(s, g, fwd_norsd, self.gp, return_pos=True)
-            d = jnp.asarray(g.cell, pos.dtype).reshape(3, 1, 1, 1)
-            base = jnp.floor(pos / d)
-            q = jnp.stack(jnp.meshgrid(
-                jnp.arange(g.N1), jnp.arange(g.N2), jnp.arange(g.N3),
-                indexing="ij")).astype(pos.dtype)
-            off = base - q
-            L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
-            off = jnp.mod(off + L / 2, L) - L / 2
-            return jnp.max(jnp.abs(off[:2]))
-
-        halo = int(float(max_off(truth))) + 4  # bound + reach + margin
+        from barcode_tpu.forward import pallas_deposit as _pd
+        halo = _pd.displacement_bound_cells(truth, self.g, fwd, self.gp)
         fwd = dataclasses.replace(fwd, pallas_halo=halo)
         self.conf = dataclasses.replace(
             self.conf, model=dataclasses.replace(self.conf.model, forward=fwd))

@@ -145,6 +145,22 @@ def test_alpt_limits():
     np.testing.assert_allclose(np.asarray(alpt_short), np.asarray(two), atol=1e-4)
 
 
+def test_spherical_collapse_grad_finite_at_collapsed_cells():
+    """delta >= 1.5 puts cells on the clipped (-3) branch of div Psi_SC;
+    the gradient there must be 0, not NaN (double-where guard — the NaN
+    cotangent of sqrt(0) poisoned every 256^3 ALPT gradient on hardware)."""
+    P = jnp.ones(G.rshape).at[0, 0, 0].set(0.0)
+    delta = 0.05 * rf.grf(jax.random.key(1), G, P)
+    delta = delta.at[3, 4, 5].set(3.0)  # arg = 1 - 2/3*D1*3 < 0
+
+    def f(d):
+        return jnp.sum(lpt.spherical_collapse_div_psi(d, G, 1.0) ** 2)
+
+    grad = jax.grad(f)(delta)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(grad[3, 4, 5]) == 0.0
+
+
 def test_spherical_collapse_linear_limit():
     """For small delta, div Psi_SC ~ psi_lin = -D1 delta."""
     delta = jnp.asarray(np.random.default_rng(0).normal(size=G.shape) * 1e-3, jnp.float32)

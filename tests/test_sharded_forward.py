@@ -112,6 +112,75 @@ def test_chains_grid_mesh_psi_and_grad():
                                    atol=3e-3 * np.abs(g_ref).max())
 
 
+@pytest.mark.parametrize("sfmodel,mk,rsd", [(1, "tsc", False), (1, "tsc", True),
+                                            (3, "sph_ft", False)])
+def test_sharded_pallas_deposit_matches_dense(sfmodel, mk, rsd):
+    """Pallas slab deposit (interpret mode on CPU) inside the sharded
+    posterior: psi and grad match the dense path.  32^3 over 4 slabs so the
+    rounded halo (4) fits the slab width (8) and the extended buffer (16)
+    tiles by the 8-row blocks."""
+    G32 = GridSpec.cube(32, 320.0)
+    P_ = jnp.full(G32.rshape, 20.0).at[0, 0, 0].set(0.0)
+    truth = rf.grf(jax.random.key(0), G32, P_)
+    fc_d = ForwardConfig(sfmodel=sfmodel, masskernel=mk, slength=20.0, rsd=rsd)
+    fc = ForwardConfig(sfmodel=sfmodel, masskernel=mk, slength=20.0, rsd=rsd,
+                       pallas_deposit=True, pallas_halo=4)
+    d_eul = lag2eul(truth, G32, fc_d, GP)
+    nobs = 1.0 + d_eul + 0.4 * jax.random.normal(jax.random.key(1), G32.shape)
+    obs = ObsData(nobs=nobs, window=jnp.ones(G32.shape),
+                  noise=jnp.full(G32.shape, 0.4), power=P_)
+    mc = posterior.ModelConfig(likelihood=1, forward=fc_d)
+    dense_vg = jax.jit(jax.value_and_grad(
+        lambda d: posterior.make_psi(G32, mc, GP, obs)(d)[0]))
+    s = 0.5 * truth
+    v_ref, g_ref = dense_vg(s)
+    g_ref = np.asarray(g_ref)
+
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), axis_names=(sfw.AXIS,))
+    psi_sh, grad_sh = sfw.make_sharded_psi(G32, fc, GP, likelihood=1,
+                                           mesh=mesh4, halo=4)
+    obs_sh = sfw.shard_obs(obs, mesh4)
+    s_sh = jax.device_put(s, NamedSharding(mesh4, P(sfw.AXIS, None, None)))
+    np.testing.assert_allclose(float(psi_sh(s_sh, obs_sh)), float(v_ref),
+                               rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(grad_sh(s_sh, obs_sh)), g_ref,
+                               atol=3e-5 * np.abs(g_ref).max())
+
+
+def test_sharded_pallas_chains_grid_mesh():
+    """Pallas slab deposit vmapped over chains on the ('chains','grid')
+    mesh: per-chain psi/grad match the dense values."""
+    G32 = GridSpec.cube(32, 320.0)
+    P_ = jnp.full(G32.rshape, 20.0).at[0, 0, 0].set(0.0)
+    truth = rf.grf(jax.random.key(0), G32, P_)
+    fc_d = ForwardConfig(sfmodel=1, masskernel="tsc")
+    fc = ForwardConfig(sfmodel=1, masskernel="tsc", pallas_deposit=True,
+                       pallas_halo=4)
+    d_eul = lag2eul(truth, G32, fc_d, GP)
+    nobs = 1.0 + d_eul + 0.4 * jax.random.normal(jax.random.key(1), G32.shape)
+    obs = ObsData(nobs=nobs, window=jnp.ones(G32.shape),
+                  noise=jnp.full(G32.shape, 0.4), power=P_)
+    mc = posterior.ModelConfig(likelihood=1, forward=fc_d)
+    dense_vg = jax.jit(jax.value_and_grad(
+        lambda d: posterior.make_psi(G32, mc, GP, obs)(d)[0]))
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 axis_names=("chains", sfw.AXIS))
+    vg = sfw.make_sharded_psi_vg_chains(G32, fc, GP, likelihood=1, mesh=mesh2,
+                                        halo=4)
+    obs_sh = sfw.shard_obs_chains(obs, mesh2)
+    batch = jnp.stack([0.5 * truth, -0.3 * truth])
+    batch_sh = jax.device_put(
+        batch, NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
+    vals, grads = vg(batch_sh, obs_sh)
+    for c in range(2):
+        v_ref, g_ref = dense_vg(batch[c])
+        g_ref = np.asarray(g_ref)
+        np.testing.assert_allclose(float(vals[c]), float(v_ref), rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(grads[c]), g_ref,
+                                   atol=3e-5 * np.abs(g_ref).max())
+
+
 @pytest.mark.parametrize("sfmodel", [2, 3])
 def test_sharded_2lpt_alpt_matches_dense(mesh, sfmodel):
     """Sharded 2LPT/ALPT posterior (+grad) == dense, unlocking config 5
