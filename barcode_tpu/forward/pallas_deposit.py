@@ -223,7 +223,14 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
                     tyo = ty + oy
                     wyo = _tsc_w(fy, oy)
                     dwyo = _tsc_dw(fy, oy)
-                    hit = col_ids == (txo * WY + tyo)[None, :]
+                    # inside-window mask, mirroring the deposit kernel: a
+                    # halo-contract-violating particle must lose BOTH its
+                    # forward contribution and its backward gather (otherwise
+                    # txo*WY+tyo can alias into a valid window cell and make
+                    # primal and gradient inconsistent)
+                    inb = ((txo >= 0) & (txo < WX)
+                           & (tyo >= 0) & (tyo < WY))
+                    hit = (col_ids == (txo * WY + tyo)[None, :]) & inb[None, :]
                     A_val = A_val + jnp.where(hit, (wxo * wyo)[None, :], 0.0)
                     A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[None, :], 0.0)
                     A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[None, :], 0.0)

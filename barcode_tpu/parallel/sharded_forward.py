@@ -160,8 +160,13 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     """The slab-local posterior body shared by the ('grid',) and
     ('chains','grid') entry points; collectives run over AXIS only."""
     h = kernel_h(fc, g)
+    # normalize the input.par integer encoding (config.py parses masskernel
+    # as an int; mirror lag2eul.py:72) so .par/CLI-driven runs hit the same
+    # gates as string-configured ones
+    mk = {0: "ngp", 1: "cic", 2: "tsc", 3: "sph"}.get(fc.masskernel,
+                                                      fc.masskernel)
     use_pallas = bool(getattr(fc, "pallas_deposit", False)) and \
-        fc.masskernel in ("tsc", "sph_ft")
+        mk in ("tsc", "sph_ft")
     if use_pallas:
         pallas_dep, halo = _make_pallas_slab_deposit(g, halo, n_dev)
 
@@ -224,7 +229,7 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
             rho = _halo_exchange_add(ext, halo)
         else:
             rho = _deposit_local(pos, g, fc, halo, n_dev, dev)
-        if fc.masskernel == "sph_ft":
+        if mk == "sph_ft":
             W4 = _w4_sharded(g, n_dev, dev, h)
             Fr = sf._rfft3_local(rho, n_dev, AXIS)
             rho = sf._irfft3_local(W4 * Fr, n_dev, g.N3, AXIS)
@@ -267,8 +272,9 @@ def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
 
     delta and the obs fields are x-slab-sharded; obs.power must be provided
     in the *sharded Fourier layout* (x full, ky-sharded — use
-    power_to_sharded_layout).  sfmodel=1 (Zel'dovich); masskernel 'tsc' or
-    'sph_ft'.
+    power_to_sharded_layout).  sfmodel 1/2/3 (Zel'dovich / 2LPT / ALPT blend
+    incl. the ppermute cellbound average); masskernel 'tsc' or 'sph_ft'
+    (or their input.par integer codes 2/'sph_ft').
     """
     n_dev = mesh.devices.size
     halo = _check_halo(g, fc, n_dev, halo)

@@ -207,3 +207,63 @@ def test_sharded_2lpt_alpt_matches_dense(mesh, sfmodel):
     g_ref = np.asarray(g_ref)
     np.testing.assert_allclose(np.asarray(grad_sh(s_sh, obs_sh)), g_ref,
                                atol=5e-3 * np.abs(g_ref).max())
+
+
+def test_sharded_one_device_mesh_matches_dense():
+    """Regression for the per-row min-image fix in _deposit_local: on a
+    1-device ('grid',) mesh the slab spans the WHOLE box, so a min-image
+    offset computed from the slab start would fold far particles wrongly.
+    The sharded psi/grad must match dense exactly in this degenerate case."""
+    truth, fc, obs = build_problem(mk="tsc")
+    mc = posterior.ModelConfig(likelihood=1, forward=fc)
+    dense_vg = jax.jit(jax.value_and_grad(
+        lambda d: posterior.make_psi(G, mc, GP, obs)(d)[0]))
+    s = 0.5 * truth
+    v_ref, g_ref = dense_vg(s)
+    g_ref = np.asarray(g_ref)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), axis_names=(sfw.AXIS,))
+    psi_sh, grad_sh = sfw.make_sharded_psi(G, fc, GP, likelihood=1,
+                                           mesh=mesh1, halo=2)
+    obs_sh = sfw.shard_obs(obs, mesh1)
+    s_sh = jax.device_put(s, NamedSharding(mesh1, P(sfw.AXIS, None, None)))
+    np.testing.assert_allclose(float(psi_sh(s_sh, obs_sh)), float(v_ref),
+                               rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(grad_sh(s_sh, obs_sh)), g_ref,
+                               atol=3e-3 * np.abs(g_ref).max())
+
+
+def test_sharded_int_masskernel_routes_pallas(monkeypatch):
+    """input.par encodes masskernel as an int (TSC=2); the pallas_deposit
+    gate must normalize it, or .par/CLI-driven sharded runs silently fall
+    back to the XLA scatter path."""
+    called = {}
+    orig = sfw._make_pallas_slab_deposit
+
+    def spy(*a, **k):
+        called["pallas"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sfw, "_make_pallas_slab_deposit", spy)
+    G32 = GridSpec.cube(32, 320.0)
+    P_ = jnp.full(G32.rshape, 20.0).at[0, 0, 0].set(0.0)
+    truth = rf.grf(jax.random.key(0), G32, P_)
+    fc_d = ForwardConfig(sfmodel=1, masskernel=2)
+    fc = ForwardConfig(sfmodel=1, masskernel=2, pallas_deposit=True,
+                       pallas_halo=4)
+    d_eul = lag2eul(truth, G32, fc_d, GP)
+    nobs = 1.0 + d_eul + 0.4 * jax.random.normal(jax.random.key(1), G32.shape)
+    obs = ObsData(nobs=nobs, window=jnp.ones(G32.shape),
+                  noise=jnp.full(G32.shape, 0.4), power=P_)
+    mc = posterior.ModelConfig(likelihood=1, forward=fc_d)
+    dense_psi = posterior.make_psi(G32, mc, GP, obs)
+
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), axis_names=(sfw.AXIS,))
+    psi_sh, _ = sfw.make_sharded_psi(G32, fc, GP, likelihood=1,
+                                     mesh=mesh4, halo=4)
+    assert called.get("pallas"), "int masskernel must route to the Pallas path"
+    obs_sh = sfw.shard_obs(obs, mesh4)
+    s = 0.5 * truth
+    s_sh = jax.device_put(s, NamedSharding(mesh4, P(sfw.AXIS, None, None)))
+    np.testing.assert_allclose(float(psi_sh(s_sh, obs_sh)),
+                               float(dense_psi(s)[0]), rtol=3e-5)
