@@ -159,6 +159,10 @@ class RunConfig:
             # extension keys (absent from reference input.par files)
             pallas_deposit=_get(p, "pallas_deposit", bool, False),
             pallas_halo=_get(p, "pallas_halo", int, 8),
+            pallas_block=(_get(p, "pallas_block_x", int, 8),
+                          _get(p, "pallas_block_y", int, 8)),
+            pallas_bf16_grad=_get(p, "pallas_bf16_grad", bool, False),
+            pallas_bf16_dep=_get(p, "pallas_bf16_dep", bool, False),
         )
         model = ModelConfig(
             likelihood=_get(p, "likelihood", int, 1),

@@ -216,7 +216,8 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
 
 
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
-                          interpret: bool | None = None, pallas_bwd: bool = True):
+                          interpret: bool | None = None, pallas_bwd: bool = True,
+                          bf16_fwd: bool = False, bf16_bwd: bool = False):
     """Unit-mass TSC deposit: Pallas block-kernel forward with an exact
     custom VJP — the backward is the windowed Pallas gather kernel
     (pallas_bwd=True) or the XLA weight-grad gather.
@@ -235,7 +236,7 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
     @jax.custom_vjp
     def dep(pos):
         return _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block,
-                                      interpret=interpret)
+                                      interpret=interpret, bf16=bf16_fwd)
 
     def dep_fwd(pos):
         return dep(pos), pos
@@ -243,7 +244,8 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
     def dep_bwd(pos, cot):
         if pallas_bwd:
             out = _pd.tsc_gather_grads_pallas(cot, pos, g, halo=halo,
-                                              block=block, interpret=interpret)
+                                              block=block, interpret=interpret,
+                                              bf16=bf16_bwd)
             return (out[1:],)
         return (tsc_weight_grad_gather(cot, pos, g),)
 

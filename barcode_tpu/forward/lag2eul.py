@@ -36,6 +36,14 @@ class ForwardConfig:
                                # 'findif' (GFINDIFF 4th-order stencil)
     pallas_deposit: bool = False  # Pallas block-kernel TSC deposit (tsc/sph_ft)
     pallas_halo: int = 8      # halo contract: max |displacement| in cells + 1
+    pallas_block: tuple = (8, 8)   # kernel output block (BX, BY)
+    pallas_bf16_grad: bool = False  # bf16 MXU dots in the backward gather:
+                               # force-path only — leapfrog stays reversible
+                               # and MH accepts on exact f32 psi, so the
+                               # sampled measure is unchanged (~4x kernel rate)
+    pallas_bf16_dep: bool = False  # bf16 dots in the deposit too: ~2^-9
+                               # relative rounding of the density feeds psi
+                               # itself — a documented speed/accuracy knob
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,7 +79,9 @@ def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
                                        gp.ascale, gp.hubble)
     mk = {0: "ngp", 1: "cic", 2: "tsc", 3: "sph"}.get(fc.masskernel, fc.masskernel)
     if fc.pallas_deposit and mk in ("tsc", "sph_ft"):
-        dep = assign.make_tsc_deposit_fast(g, halo=fc.pallas_halo)
+        dep = assign.make_tsc_deposit_fast(
+            g, halo=fc.pallas_halo, block=tuple(fc.pallas_block),
+            bf16_fwd=fc.pallas_bf16_dep, bf16_bwd=fc.pallas_bf16_grad)
         rho = dep(pos)
         if mk == "sph_ft":
             from barcode_tpu.grid import fourier as _f

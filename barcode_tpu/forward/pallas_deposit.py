@@ -102,11 +102,13 @@ def _sub_tile(T: int, weight: int, budget_bytes: int = 6 << 20) -> int:
     return max(t, 1)
 
 
-def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False):
+def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
+                 bf16: bool = False):
     nxy = BX * BY
     T = WY * N3  # particles per x-row tile of the window
     TS = _sub_tile(T, N3 + nxy)
     n_sub = T // TS
+    dot_dt = jnp.bfloat16 if bf16 else jnp.float32
 
     def body(p_ref, out_ref):
         # p_ref block is (6, WX, WY*N3): the (y, z) axes are pre-flattened by
@@ -158,8 +160,11 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False):
                 BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
 
             # acc[xy, z] += sum_t AT[xy, t] BT[z, t]  (the Q K^T MXU pattern)
+            # bf16 operands run the MXU at full rate (~4x fp32); rounding is
+            # ~2^-9 relative on the TSC weights — opt-in via `bf16`
             return acc + jax.lax.dot_general(
-                AT, BT, dimension_numbers=(((1,), (1,)), ((), ())),
+                AT.astype(dot_dt), BT.astype(dot_dt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         def row_body(r, acc):
@@ -174,16 +179,23 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False):
     return body
 
 
-def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
+def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
     """Program owns a (BX, BY) block of *particles*; reads the (WX, WY, N3)
     field window around it; emits (4, BX, BY, N3):
         [0] value gather  sum_o w_o field(base+o)           (interpolate_TSC)
         [1..3] d/dpos_i   sum_o dw_o/dpos_i field(base+o)   (deposit adjoint)
+
+    bf16=True casts the dot operands to bfloat16 (full-rate MXU, ~4x fp32;
+    ~2^-9 relative rounding).  Safe on the *force* path: leapfrog with any
+    deterministic force stays volume-preserving and reversible, and the MH
+    accept uses the exact f32 psi, so the sampled measure is unchanged —
+    bf16 force error only costs a marginal bit of acceptance rate.
     """
     T = BY * N3
     WXY = WX * WY
     TS = _sub_tile(T, 3 * WXY + 2 * N3)
     n_sub = T // TS
+    dot_dt = jnp.bfloat16 if bf16 else jnp.float32
 
     def body(p_ref, f_ref, out_ref):
         # p_ref and out_ref have (y, z) pre-flattened (Mosaic reshape limits,
@@ -196,6 +208,7 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
         wy0 = J * BY - halo
 
         win = f_ref[...].reshape(WXY, N3)
+        win_d = win.astype(dot_dt)  # cast once per block, not per tile
         # transposed one-hots: see _make_kernel for the Mosaic layout rule
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (WXY, TS), 0)
         z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
@@ -246,7 +259,8 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo):
 
             # MT[z, t] = sum_c win[c, z] A[c, t]  (transposed-lhs contraction)
             dot = lambda A: jax.lax.dot_general(
-                win, A, dimension_numbers=(((0,), (0,)), ((), ())),
+                win_d, A.astype(dot_dt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             MT_val = dot(A_val)   # [N3, TS]
             MT_dx = dot(A_dx)
@@ -275,7 +289,8 @@ def _tsc_dw(dx, s):
 
 
 def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
-                            block: tuple = (8, 8), interpret: bool = False):
+                            block: tuple = (8, 8), interpret: bool = False,
+                            bf16: bool = False):
     """(value, dV/dx, dV/dy, dV/dz) gathers at particle positions via the
     windowed block kernel; shape (4,) + grid.  Gradients are per *physical*
     position (divided by the cell size)."""
@@ -296,7 +311,7 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
 
     grid = (g.N1 // BX, g.N2 // BY)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo),
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((4, g.N1, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
@@ -369,7 +384,7 @@ def _slab_channels(pos, g: GridSpec, n1_loc: int, devf, weights=None):
 
 def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
                             block: tuple = (8, 8), interpret: bool = False,
-                            weights=None):
+                            weights=None, bf16: bool = False):
     """TSC deposit of slab-local particles into an *extended* x buffer
     [halo + n1_loc + halo, N2, N3]; fold the margins into the neighbours with
     a ppermute halo exchange afterwards (sharded_forward._halo_exchange_add).
@@ -405,7 +420,8 @@ def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
         index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
     )
     return pl.pallas_call(
-        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None),
+        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None,
+                     bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((n1_ext, g.N2, g.N3), jnp.float32),
         grid=grid,
         in_specs=[in_spec],
@@ -416,7 +432,7 @@ def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
 
 def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
                                  devf, halo: int, block: tuple = (8, 8),
-                                 interpret: bool = False):
+                                 interpret: bool = False, bf16: bool = False):
     """(value, dV/dx, dV/dy, dV/dz) gathers of an extended-slab field at
     slab-local particle positions — the exact adjoint of
     tsc_deposit_pallas_slab w.r.t. the extended buffer.  Shape
@@ -433,7 +449,7 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
 
     grid = (n1_loc // BX, g.N2 // BY)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo),
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((4, n1_loc, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
@@ -450,7 +466,8 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
 
 
 def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
-                       interpret: bool = False, weights=None):
+                       interpret: bool = False, weights=None,
+                       bf16: bool = False):
     """TSC deposit via the Pallas block kernel; optional per-particle
     `weights` (grid shape — particle masses, getDensity_* mass arrays, or
     gather-adjoint cotangents).
@@ -478,7 +495,8 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
         index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
     )
     return pl.pallas_call(
-        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None),
+        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None,
+                     bf16=bf16),
         out_shape=jax.ShapeDtypeStruct(g.shape, jnp.float32),
         grid=grid,
         in_specs=[in_spec],

@@ -117,7 +117,8 @@ def _deposit_local(pos, g: GridSpec, fc: ForwardConfig, halo: int, n_dev: int, d
 
 def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
                               interpret: bool | None = None,
-                              block: tuple = (8, 8)):
+                              block: tuple = (8, 8),
+                              bf16_fwd: bool = False, bf16_bwd: bool = False):
     """Slab-local Pallas TSC deposit (pos, devf) -> extended x buffer, with
     an exact custom VJP via the windowed slab gather kernel.  `devf` is the
     'grid' axis index as float (a regular argument, not a closure, so the
@@ -140,7 +141,8 @@ def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
     @jax.custom_vjp
     def dep(pos, devf):
         return _pd.tsc_deposit_pallas_slab(
-            pos, g, n1_loc, devf, halo4, block=block, interpret=interpret)
+            pos, g, n1_loc, devf, halo4, block=block, interpret=interpret,
+            bf16=bf16_fwd)
 
     def dep_fwd(pos, devf):
         return dep(pos, devf), (pos, devf)
@@ -148,7 +150,8 @@ def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
     def dep_bwd(res, cot):
         pos, devf = res
         out = _pd.tsc_gather_grads_pallas_slab(
-            cot, pos, g, n1_loc, devf, halo4, block=block, interpret=interpret)
+            cot, pos, g, n1_loc, devf, halo4, block=block, interpret=interpret,
+            bf16=bf16_bwd)
         return out[1:], jnp.zeros_like(devf)
 
     dep.defvjp(dep_fwd, dep_bwd)
@@ -168,7 +171,10 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     use_pallas = bool(getattr(fc, "pallas_deposit", False)) and \
         mk in ("tsc", "sph_ft")
     if use_pallas:
-        pallas_dep, halo = _make_pallas_slab_deposit(g, halo, n_dev)
+        pallas_dep, halo = _make_pallas_slab_deposit(
+            g, halo, n_dev, block=tuple(getattr(fc, "pallas_block", (8, 8))),
+            bf16_fwd=getattr(fc, "pallas_bf16_dep", False),
+            bf16_bwd=getattr(fc, "pallas_bf16_grad", False))
 
     def psi_local(delta, nobs, window, noise, power_f):
         dev = jax.lax.axis_index(AXIS)

@@ -150,3 +150,61 @@ def test_pallas_deposit_weighted_is_gather_adjoint():
                                               weights=w) * f))
     rhs = float(jnp.sum(w * assign.tsc_gather(f, pos, G)))
     np.testing.assert_allclose(lhs, rhs, rtol=2e-4)
+
+
+@pytest.mark.parametrize("block", [(16, 8), (16, 16)])
+def test_pallas_deposit_alt_blocks(block):
+    """Non-default output blocks (MXU-utilization tuning) remain exact."""
+    pos, _ = displaced_positions(key=2)
+    ref = np.asarray(assign.tsc_deposit(pos, G))
+    out = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, block=block,
+                                           interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    field = jnp.asarray(ref)
+    gref = np.asarray(pd.tsc_gather_grads_pallas(field, pos, G, halo=4,
+                                                 interpret=True))
+    galt = np.asarray(pd.tsc_gather_grads_pallas(field, pos, G, halo=4,
+                                                 block=block, interpret=True))
+    np.testing.assert_allclose(galt, gref, atol=1e-5)
+
+
+def test_pallas_bf16_close_to_f32():
+    """bf16 MXU dots: deposit/gather within ~2^-8 of the f32 kernels (the
+    documented rounding of the speed knobs pallas_bf16_dep/pallas_bf16_grad)."""
+    pos, _ = displaced_positions(key=2)
+    ref = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True))
+    out = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True,
+                                           bf16=True))
+    assert np.abs(out - ref).max() <= 1e-2 * np.abs(ref).max()
+    assert np.abs(out - ref).max() > 0  # the cast actually happened
+    field = jnp.asarray(ref)
+    gref = np.asarray(pd.tsc_gather_grads_pallas(field, pos, G, halo=4,
+                                                 interpret=True))
+    gout = np.asarray(pd.tsc_gather_grads_pallas(field, pos, G, halo=4,
+                                                 interpret=True, bf16=True))
+    assert np.abs(gout - gref).max() <= 1e-2 * np.abs(gref).max()
+
+
+def test_forward_config_bf16_flags_flow():
+    """pallas_bf16_grad through ForwardConfig: psi forward exact (deposit
+    stays f32), gradient close to the f32 gradient."""
+    truth = 0.4 * rf.grf(jax.random.key(3), G, jnp.full(G.rshape, 10.0).at[0, 0, 0].set(0.0))
+    gp = GP
+    obs_nobs = 1.0 + lag2eul(truth, G, ForwardConfig(sfmodel=1, masskernel="tsc"), gp)
+    obs = ObsData(nobs=obs_nobs, window=jnp.ones(G.shape),
+                  noise=jnp.ones(G.shape),
+                  power=jnp.full(G.rshape, 10.0).at[0, 0, 0].set(0.0))
+
+    def vg(bf):
+        fc = ForwardConfig(sfmodel=1, masskernel="tsc", pallas_deposit=True,
+                           pallas_halo=4, pallas_bf16_grad=bf)
+        # make_tsc_deposit_fast(interpret=None) auto-selects interpret mode
+        # on the CPU backend, so the config flag is exercisable here
+        mc = posterior.ModelConfig(likelihood=1, forward=fc)
+        return jax.value_and_grad(lambda d: posterior.make_psi(G, mc, gp, obs)(d)[0])(0.5 * truth)
+
+    v32, g32 = vg(False)
+    v16, g16 = vg(True)
+    np.testing.assert_allclose(float(v16), float(v32), rtol=1e-6)  # psi exact
+    assert np.abs(np.asarray(g16) - np.asarray(g32)).max() <= \
+        1e-2 * np.abs(np.asarray(g32)).max()
