@@ -146,6 +146,11 @@ class RunConfig:
         N = _get(p, "Nx", int)
         L = _get(p, "Lx", float)
         grid = GridSpec.cube(N, L)
+        # particle_kernel: SPH kernel *type*; 0 (cubic spline) is the only
+        # type the reference implements either (SPH_kernel.cpp:19-28)
+        if _get(p, "particle_kernel", int, 0) != 0:
+            raise ValueError("particle_kernel != 0 (SPH cubic spline) is not "
+                             "implemented — matching the reference")
         fwd = ForwardConfig(
             sfmodel=_get(p, "sfmodel", int, 1),
             masskernel=_get(p, "masskernel", int, 3),
@@ -153,6 +158,8 @@ class RunConfig:
             rsd_planepar=_get(p, "planepar", bool, True),
             observer=(_get(p, "xobs", float, 0.0), _get(p, "yobs", float, 0.0),
                       _get(p, "zobs", float, 0.0)),
+            origin=(_get(p, "xllc", float, 0.0), _get(p, "yllc", float, 0.0),
+                    _get(p, "zllc", float, 0.0)),
             periodic=_get(p, "periodic", bool, True),
             slength=_get(p, "slength", float, 4.0),
             kernel_h_rel=_get(p, "particle_kernel_h_rel", float, 1.0),
@@ -169,6 +176,10 @@ class RunConfig:
             prior=_get(p, "prior", int, 0),
             forward=fwd,
             deltaQ_factor=_get(p, "deltaQ_factor", float, 1.0),
+            grad_prior_factor=_get(p, "grad_psi_prior_factor", float, 1.0),
+            grad_likeli_factor=_get(p, "grad_psi_likeli_factor", float, 1.0),
+            correct_delta=_get(p, "correct_delta", bool, False),
+            calc_h=_get(p, "calc_h", int, 3),
         )
         hmc = HMCConfig(
             N_eps_fac=int(_get(p, "N_eps_fac", float, 8.0)),

@@ -29,6 +29,11 @@ class ForwardConfig:
     rsd: bool = False         # redshift-space mapping
     rsd_planepar: bool = True  # plane-parallel (z-axis) vs radial w.r.t.
     observer: tuple = (0.0, 0.0, 0.0)  # xobs/yobs/zobs (rsd.cc:18-69)
+    origin: tuple = (0.0, 0.0, 0.0)  # box lower-left corner xllc/yllc/zllc
+                              # (init_par.cc:124, threaded into Lag2Eul /
+                              # disp_part).  Positions here are box-relative,
+                              # so the origin only enters the radial-RSD
+                              # observer geometry: obs_eff = observer - origin.
     periodic: bool = True
     slength: float = 4.0      # ALPT long/short split scale [Mpc/h]
     kernel_h_rel: float = 1.0  # SPH kernel scale in mean-cell units
@@ -75,7 +80,8 @@ def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
             pos = particles.rsd_plane_parallel(pos, vel_z, g, gp.ascale,
                                                gp.hubble, fc.periodic)
         else:
-            pos = particles.rsd_radial(pos, gp.cpecvel * psi, g, fc.observer,
+            obs_eff = tuple(o - c for o, c in zip(fc.observer, fc.origin))
+            pos = particles.rsd_radial(pos, gp.cpecvel * psi, g, obs_eff,
                                        gp.ascale, gp.hubble)
     mk = {0: "ngp", 1: "cic", 2: "tsc", 3: "sph"}.get(fc.masskernel, fc.masskernel)
     if fc.pallas_deposit and mk in ("tsc", "sph_ft"):

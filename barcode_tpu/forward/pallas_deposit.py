@@ -193,7 +193,11 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
     """
     T = BY * N3
     WXY = WX * WY
-    TS = _sub_tile(T, 3 * WXY + 2 * N3)
+    # working set per tile: 3 A one-hots (WXY rows) + 2 B one-hots (N3) +
+    # 3 MT dot results (N3) + bf16/copy slack (~WXY) — the (16,8)-block
+    # gather hit the 16 MB scoped-VMEM stack limit with the old 3*WXY+2*N3
+    # estimate (18.27M actual)
+    TS = _sub_tile(T, 4 * WXY + 5 * N3)
     n_sub = T // TS
     dot_dt = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -234,16 +238,20 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
                 txo = tx + ox
                 for oy in (-1, 0, 1):
                     tyo = ty + oy
-                    wyo = _tsc_w(fy, oy)
-                    dwyo = _tsc_dw(fy, oy)
                     # inside-window mask, mirroring the deposit kernel: a
                     # halo-contract-violating particle must lose BOTH its
                     # forward contribution and its backward gather (otherwise
                     # txo*WY+tyo can alias into a valid window cell and make
-                    # primal and gradient inconsistent)
+                    # primal and gradient inconsistent).  The mask zeroes the
+                    # (TS,) y-weights rather than ANDing into the (WXY, TS)
+                    # `hit` pattern: keeping `hit` a pure iota-equality is
+                    # what Mosaic lowers to the fast one-hot compare (the
+                    # ANDed variant measured 2.1x slower end-to-end).
                     inb = ((txo >= 0) & (txo < WX)
-                           & (tyo >= 0) & (tyo < WY))
-                    hit = (col_ids == (txo * WY + tyo)[None, :]) & inb[None, :]
+                           & (tyo >= 0) & (tyo < WY)).astype(jnp.float32)
+                    wyo = _tsc_w(fy, oy) * inb
+                    dwyo = _tsc_dw(fy, oy) * inb
+                    hit = col_ids == (txo * WY + tyo)[None, :]
                     A_val = A_val + jnp.where(hit, (wxo * wyo)[None, :], 0.0)
                     A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[None, :], 0.0)
                     A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[None, :], 0.0)

@@ -30,7 +30,7 @@ from barcode_tpu.grid.spec import GridSpec
 from barcode_tpu.config import HMCConfig
 from barcode_tpu.forward.lag2eul import GrowthParams
 from barcode_tpu.model.likelihoods import ObsData
-from barcode_tpu.model.posterior import ModelConfig, make_psi
+from barcode_tpu.model.posterior import ModelConfig, make_psi, make_psi_force
 from barcode_tpu.hmc import adapt, mass as mass_mod
 from barcode_tpu.hmc.state import AttemptStats, ChainState, MassState
 
@@ -39,8 +39,7 @@ def make_init(g: GridSpec, mc: ModelConfig, gp: GrowthParams, hc: HMCConfig):
     """init(key, delta0, obs) -> ChainState (single chain; vmap outside)."""
 
     def init(key, delta0, obs: ObsData):
-        psi_fn = make_psi(g, mc, gp, obs)
-        (psi, (pp, pl)), grad = jax.value_and_grad(psi_fn, has_aux=True)(delta0)
+        (psi, (pp, pl)), grad = make_psi_force(g, mc, gp, obs)(delta0)
         n_a = hc.N_a_eps_update
         eps0 = jnp.asarray(hc.eps_fac_start(g.N), jnp.float32)
         return ChainState(
@@ -112,8 +111,7 @@ def make_attempt(g: GridSpec, mc: ModelConfig, gp: GrowthParams, hc: HMCConfig):
     n_eps_max = int(hc.N_eps_fac)
 
     def attempt(state: ChainState, obs: ObsData, mass: MassState):
-        psi_fn = make_psi(g, mc, gp, obs)
-        vag = jax.value_and_grad(psi_fn, has_aux=True)
+        vag = make_psi_force(g, mc, gp, obs)
 
         key, k_mom, k_neps, k_eps, k_acc = jax.random.split(state.key, 5)
 

@@ -34,7 +34,12 @@ N_ATTEMPTS = 8     # timed attempts per measurement
 # [BENCH_HALO=n] [BENCH_BLOCK=bx] to tune
 PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 HALO = int(os.environ.get("BENCH_HALO", 0))
-BLOCK = int(os.environ.get("BENCH_BLOCK", 8))
+BLOCK = tuple(int(b) for b in os.environ.get("BENCH_BLOCK", "8,8").split(","))
+if len(BLOCK) == 1:
+    BLOCK = (BLOCK[0], 8)
+# bf16 MXU dots in the Pallas kernels (force path / deposit path)
+BF16_GRAD = os.environ.get("BENCH_BF16_GRAD", "0") == "1"
+BF16_DEP = os.environ.get("BENCH_BF16_DEP", "0") == "1"
 CPU_BASELINE_FILE = Path(__file__).parent / "bench_cpu_baseline.json"
 
 
@@ -79,7 +84,9 @@ def build_step(n_grid: int):
 
         halo = int(float(_max_off())) + 3  # bound + TSC reach + margin
     halo = halo or 8
-    fc = dataclasses.replace(fc0, pallas_deposit=PALLAS, pallas_halo=halo)
+    fc = dataclasses.replace(fc0, pallas_deposit=PALLAS, pallas_halo=halo,
+                             pallas_block=BLOCK, pallas_bf16_grad=BF16_GRAD,
+                             pallas_bf16_dep=BF16_DEP)
     mc = ModelConfig(likelihood=1, forward=fc)
     hc = HMCConfig(eps_fac=1e-4, eps_fac_update_type=0, mass_type=1,
                    N_eps_fac=N_EPS, N_a_eps_update=32)

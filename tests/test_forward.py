@@ -273,3 +273,30 @@ def test_rsd_radial_matches_plane_parallel_for_distant_observer():
     # x/y unchanged up to the tiny transverse component (~ shift * L/(2 r))
     np.testing.assert_allclose(np.asarray(pos_rad[:2]), np.asarray(pos_pp[:2]),
                                atol=6e-3)
+
+
+def test_rsd_radial_origin_offset():
+    """ForwardConfig.origin (xllc/yllc/zllc) shifts the radial-RSD observer
+    frame: observer o with origin c == observer o - c with origin 0
+    (positions here are box-relative; init_par.cc:124, rsd.cc:36)."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from barcode_tpu.grid.spec import GridSpec
+    from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+    from barcode_tpu import random_fields as rf
+
+    g = GridSpec.cube(16, 32.0)
+    gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.0,
+                      hubble=100.0)
+    P = jnp.full(g.rshape, 0.5).at[0, 0, 0].set(0.0)
+    delta = rf.grf(jax.random.key(0), g, P)
+    fc0 = ForwardConfig(sfmodel=1, masskernel="tsc", rsd=True,
+                        rsd_planepar=False, periodic=False,
+                        observer=(6.0, -4.0, -50.0))
+    fc_shift = _dc.replace(fc0, observer=(16.0, 16.0, -30.0),
+                           origin=(10.0, 20.0, 20.0))
+    _, pos0 = lag2eul(delta, g, fc0, gp, return_pos=True)
+    _, pos1 = lag2eul(delta, g, fc_shift, gp, return_pos=True)
+    np.testing.assert_allclose(np.asarray(pos1), np.asarray(pos0), atol=1e-5)

@@ -114,3 +114,56 @@ def test_grf_likelihood_bypasses_forward():
     total, (pp, pl) = psi_fn(s)
     expected_like = float(likelihoods.grf_psi(s, obs))
     np.testing.assert_allclose(float(pl), expected_like, rtol=1e-5)
+
+
+def test_psi_force_scaling_knobs():
+    """grad_psi_{prior,likeli}_factor + correct_delta scale only the force
+    (HMC.cc:164-175, HMC_models.cc:458-470): psi value stays exact, the
+    gradient is f_p*grad(prior) + f_l*D1*grad(like)."""
+    obs = make_obs(jax.random.key(20))
+    s = 0.1 * jax.random.normal(jax.random.key(21), G.shape)
+    gp = GrowthParams(D1=0.8, D2=-3.0 / 7.0 * 0.64, ascale=1.0,
+                      cpecvel=52.0, hubble=100.0)
+    base = posterior.ModelConfig(likelihood=1)
+    (v0, (pp0, pl0)), _ = posterior.make_psi_force(G, base, gp, obs)(s)
+    gp_only = jax.grad(lambda d: posterior.make_psi(
+        G, base, gp, obs)(d)[1][0])(s)
+    gl_only = jax.grad(lambda d: posterior.make_psi(
+        G, base, gp, obs)(d)[1][1])(s)
+
+    mc = posterior.ModelConfig(likelihood=1, grad_prior_factor=2.0,
+                               grad_likeli_factor=0.5, correct_delta=True)
+    (v1, (pp1, pl1)), grad1 = posterior.make_psi_force(G, mc, gp, obs)(s)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)  # psi exact
+    np.testing.assert_allclose(float(pp1), float(pp0), rtol=1e-6)
+    np.testing.assert_allclose(float(pl1), float(pl0), rtol=1e-6)
+    want = 2.0 * np.asarray(gp_only) + 0.5 * gp.D1 * np.asarray(gl_only)
+    np.testing.assert_allclose(np.asarray(grad1), want,
+                               atol=3e-5 * np.abs(want).max())
+
+
+def test_config_testing_block_keys(tmp_path):
+    """input.par Testing-block keys land in ModelConfig/ForwardConfig."""
+    from barcode_tpu.config import RunConfig
+    par = tmp_path / "t.par"
+    par.write_text("""
+Nx = 8
+Lx = 80.0
+grad_psi_prior_factor = 2.0
+grad_psi_likeli_factor = 0.5
+correct_delta = true
+calc_h = 2
+xllc = 1.0
+yllc = 2.0
+zllc = 3.0
+particle_kernel = 0
+""")
+    conf = RunConfig.from_input_par(par)
+    assert conf.model.grad_prior_factor == 2.0
+    assert conf.model.grad_likeli_factor == 0.5
+    assert conf.model.correct_delta is True
+    assert conf.model.calc_h == 2
+    assert conf.model.forward.origin == (1.0, 2.0, 3.0)
+    par.write_text("Nx = 8\nLx = 80.0\nparticle_kernel = 1\n")
+    with pytest.raises(ValueError):
+        RunConfig.from_input_par(par)

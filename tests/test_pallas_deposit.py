@@ -208,3 +208,56 @@ def test_forward_config_bf16_flags_flow():
     np.testing.assert_allclose(float(v16), float(v32), rtol=1e-6)  # psi exact
     assert np.abs(np.asarray(g16) - np.asarray(g32)).max() <= \
         1e-2 * np.abs(np.asarray(g32)).max()
+
+
+def test_gather_window_mask_brute_force():
+    """The gather kernel's inside-window mask (ADVICE r1): for particles
+    violating the halo contract, every (ox, oy) offset falling outside the
+    kernel's field window must contribute 0 — never alias through the
+    flattened index txo*WY + tyo into a valid cell (y-overflow tyo = WY
+    would otherwise read the next x-row's first column).  Brute-force
+    reference reimplements the exact window geometry in numpy."""
+    halo_req = 3
+    BX = BY = 8
+    pos = particles.lagrangian_positions(G)
+    d = G.cell
+    # a spread of violating displacements incl. the exact y-overflow case
+    pos = pos.at[1, 2, 2, 2].add((halo_req + 1.6) * d[1])
+    pos = pos.at[1, 9, 9, 9].add(-(halo_req + 2.6) * d[1])
+    pos = pos.at[0, 5, 5, 5].add((halo_req + 3.6) * d[0])
+    pos = particles.wrap(pos, G)
+    assert int(pd.deposit_violations(pos, G, halo_req)) == 3
+    field = jax.random.normal(jax.random.key(1), G.shape)
+    out = np.asarray(pd.tsc_gather_grads_pallas(field, pos, G, halo=halo_req,
+                                                block=(BX, BY), interpret=True))
+
+    halo = -(-halo_req // 4) * 4  # the kernel rounds the halo up to 4
+    WX, WY = BX + 2 * halo, BY + 2 * halo
+    f = np.asarray(field)
+    u = np.asarray(pos) / np.asarray(G.cell).reshape(3, 1, 1, 1)
+    base = np.floor(u)
+    frac = (u - base - 0.5).astype(np.float64)
+
+    def w(dx, s):
+        return 0.75 - dx * dx if s == 0 else 0.5 * (1.5 - abs(dx - s)) ** 2
+
+    N1, N2, N3 = G.shape
+    for (i, j, k) in [(2, 2, 2), (9, 9, 9), (5, 5, 5), (0, 0, 0), (7, 7, 7)]:
+        # unwrap base to the particle's Lagrangian row (as _phase_a does)
+        bx = i + ((base[0, i, j, k] - i + N1 / 2) % N1 - N1 / 2)
+        by = j + ((base[1, i, j, k] - j + N2 / 2) % N2 - N2 / 2)
+        bz = base[2, i, j, k] % N3
+        wx0, wy0 = (i // BX) * BX - halo, (j // BY) * BY - halo
+        tx, ty = int(bx) - wx0, int(by) - wy0
+        fx, fy, fz = frac[:, i, j, k]
+        acc = 0.0
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                if not (0 <= tx + ox < WX and 0 <= ty + oy < WY):
+                    continue  # the kernel must drop this offset entirely
+                for oz in (-1, 0, 1):
+                    fv = f[(wx0 + tx + ox) % N1, (wy0 + ty + oy) % N2,
+                           int(bz + oz) % N3]
+                    acc += w(fx, ox) * w(fy, oy) * w(fz, oz) * fv
+        np.testing.assert_allclose(out[0, i, j, k], acc,
+                                   atol=1e-5, err_msg=f"particle {(i,j,k)}")
