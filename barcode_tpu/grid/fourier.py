@@ -263,6 +263,20 @@ def measure_spectrum(x, g: GridSpec, nbin: int):
     return kmode, power, nmode
 
 
+def rfft_grid_to_full(x, g: GridSpec):
+    """Expand a real-valued half-complex-layout grid (N1,N2,N3/2+1) to the
+    full (N1,N2,N3) grid via the Hermitian mirror kz -> min(kz, N3-kz).
+
+    Used for file parity with the reference, which stores |k|-indexed grids
+    (e.g. observational->Power) in full N^3 layout
+    (/root/reference/barcode/main.cc:156-168, calc_power.cc:31-108).
+    """
+    n3 = g.shape[2]
+    kz = jnp.arange(n3)
+    idx = jnp.minimum(kz, n3 - kz)
+    return jnp.take(x, idx, axis=2)
+
+
 def power_table_to_rfft_grid(k_table, p_table, g: GridSpec, dtype=jnp.float32):
     """Interpolate a tabulated P(k) (e.g. CAMB 2-column ascii) onto the
     half-complex |k| grid; DC mode zeroed.

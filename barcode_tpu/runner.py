@@ -123,6 +123,10 @@ class Runner:
         # every array-producing path is jitted: the axon TPU backend has no
         # eager op support (see .claude/skills/verify/SKILL.md)
         power = jax.jit(self.load_power)()
+        # powerero: the input P(k) on the (full-layout) grid, dumped once at
+        # startup (main.cc:156-168 via dump_scalar after readtab)
+        bio.write_array(self.dir / "powerero", np.asarray(
+            jax.jit(lambda P: fourier.rfft_grid_to_full(P, self.g))(power)))
         self.key, k_mock, k_guess, k_chains = jax.random.split(self.key, 4)
 
         fwd_mock = conf.model.forward
@@ -170,6 +174,12 @@ class Runner:
             self.states = jax.jit(
                 lambda ks, gs, ob: jax.vmap(lambda k: init(k, gs, ob))(ks)
             )(keys, guess, self.obs)
+            guesses = guess[None]
+        # initial_guess field + its spectrum (barcoderunner.cc:324-329);
+        # chain 0's guess carries the reference's file names
+        bio.write_array(self.dir / "initial_guess", np.asarray(guesses[0]))
+        km, pw, _ = self._spec_jit(guesses[0])
+        bio.dump_spectrum(self.dir / "spec_initial_guess.dat", km, pw)
         self.mass = self._compute_mass()
         self._run = sampler.make_sampler(self.g, conf.model, self.gp, conf.hmc,
                                          n_attempts_per_call=self.attempt_batch)

@@ -107,3 +107,10 @@ def test_power_table_interp():
     kf = 2 * np.pi / 100.0
     expected = np.interp(kf, k_t, p_t)
     np.testing.assert_allclose(float(P[1, 0, 0]), expected, rtol=1e-5)
+
+
+def test_rfft_grid_to_full_hermitian_mirror():
+    kk_r = fourier.k_squared(G)                      # rfft layout
+    full = fourier.rfft_grid_to_full(kk_r, G)
+    kk_full = fourier.k_squared(G, rfft=False)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(kk_full), rtol=1e-6)

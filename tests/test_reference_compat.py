@@ -72,3 +72,8 @@ def test_reference_ci_smoke_run(tmp_path):
     assert (tmp_path / "deltaLAG_1.dat").exists()
     assert (tmp_path / "performance_log.txt").exists()
     assert (tmp_path / "specLAGtest.dat").exists()
+    # startup dumps (main.cc:156-168, barcoderunner.cc:324-329)
+    n = conf.grid.N1
+    assert (tmp_path / "powerero.dat").stat().st_size == 4 * n ** 3
+    assert (tmp_path / "initial_guess.dat").stat().st_size == 4 * n ** 3
+    assert (tmp_path / "spec_initial_guess.dat").exists()
