@@ -1,0 +1,125 @@
+"""Component-level timing of the 128^3 leapfrog step (bench headline config).
+
+Times each jitted piece of the hot path separately so the next optimization
+targets the real cost, not a guess:
+  value_and_grad (full force)  |  lag2eul forward  |  lag2eul VJP pullback
+  Pallas deposit alone         |  Pallas gather-grads alone
+  prior force (1 FFT pair)     |  mass-inverse apply (1 FFT pair)
+  kick/drift elementwise chain
+
+Usage: timeout 2400 python artifacts/profile_step.py  (writes profile_step.json)
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+N_GRID = 128
+REPS = 20
+
+
+def timeit(fn, *args, reps=REPS):
+    out = fn(*args)
+    jax_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax_sync(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def jax_sync(tree):
+    import jax
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    float(leaf.ravel()[0])  # device->host transfer: reliable sync on axon
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from barcode_tpu.grid.spec import GridSpec
+    from barcode_tpu.grid import fourier
+    from barcode_tpu import random_fields
+    from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+    from barcode_tpu.forward import pallas_deposit as pd
+    from barcode_tpu.model.likelihoods import ObsData
+    from barcode_tpu.model.posterior import ModelConfig, make_psi_force
+    from barcode_tpu.hmc import mass as mass_mod
+
+    g = GridSpec.cube(N_GRID, 200.0)
+    gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85,
+                      hubble=100.0)
+    fc = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0,
+                       pallas_deposit=True, pallas_halo=7)
+    mc = ModelConfig(likelihood=1, forward=fc)
+
+    @jax.jit
+    def setup():
+        kk = jnp.sqrt(fourier.k_squared(g))
+        keq = 0.02
+        P = (1e4 * (kk / keq) / (1.0 + (kk / keq) ** 2) ** 1.5).at[0, 0, 0].set(0.0)
+        truth = random_fields.grf(jax.random.key(0), g, P)
+        d_eul = lag2eul(truth, g, fc, gp)
+        nobs = jnp.maximum(
+            1.0 + d_eul + jax.random.normal(jax.random.key(1), g.shape), 0.0)
+        obs = ObsData(nobs=nobs, window=jnp.ones(g.shape),
+                      noise=jnp.ones(g.shape), power=P)
+        mass = mass_mod.compute_mass(g, 1, P)
+        _, pos = lag2eul(truth, g, fc, gp, return_pos=True)
+        return truth, obs, mass, pos, P
+
+    truth, obs, mass, pos, P = setup()
+    r = {}
+
+    vag = jax.jit(lambda s: make_psi_force(g, mc, gp, obs)(s))
+    r["full_value_and_grad_ms"] = timeit(vag, truth)
+
+    fwd = jax.jit(lambda s: lag2eul(s, g, fc, gp))
+    r["lag2eul_forward_ms"] = timeit(fwd, truth)
+
+    @jax.jit
+    def fwd_vjp(s, ct):
+        _, pull = jax.vjp(lambda x: lag2eul(x, g, fc, gp), s)
+        return pull(ct)[0]
+    ct = jnp.ones(g.shape) / g.N
+    r["lag2eul_fwd_plus_vjp_ms"] = timeit(fwd_vjp, truth, ct)
+
+    dep = jax.jit(lambda p: pd.tsc_deposit_pallas(p, g, halo=fc.pallas_halo,
+                                                  block=tuple(fc.pallas_block)))
+    r["pallas_deposit_ms"] = timeit(dep, pos)
+
+    gat = jax.jit(lambda f, p: pd.tsc_gather_grads_pallas(
+        f, p, g, halo=fc.pallas_halo, block=tuple(fc.pallas_block)))
+    r["pallas_gather_grads_ms"] = timeit(gat, ct, pos)
+
+    # weighted-channel variant (PLAN: time the 7th particle channel on HW)
+    wdep = jax.jit(lambda p, w: pd.tsc_deposit_pallas(
+        p, g, halo=fc.pallas_halo, block=tuple(fc.pallas_block), weights=w))
+    r["pallas_deposit_weighted_ms"] = timeit(wdep, pos, 1.0 + truth)
+
+    prior = jax.jit(lambda s: fourier.convolve_inv_corr(s, g, P))
+    r["prior_force_ms"] = timeit(prior, truth)
+
+    minv = jax.jit(lambda p_: mass_mod.apply_minv(p_, g, 1, mass))
+    r["mass_inverse_ms"] = timeit(minv, truth)
+
+    # the pure elementwise kick+drift chain (2 fma passes over N^3)
+    eps = jnp.float32(1e-4)
+    kick = jax.jit(lambda p_, gr, s_: (p_ - eps * gr, s_ + eps * p_))
+    r["kick_drift_elementwise_ms"] = timeit(kick, truth, ct, truth)
+
+    # one batched rfft3+irfft3 pair for scale
+    fftpair = jax.jit(lambda x: fourier.irfft3(fourier.rfft3(x), g))
+    r["fft_pair_ms"] = timeit(fftpair, truth)
+
+    for k, v in r.items():
+        print(f"{k}: {v if isinstance(v, str) else round(v, 2)}", flush=True)
+    Path(__file__).with_suffix(".json").write_text(
+        json.dumps({k: (round(v, 3) if not isinstance(v, str) else v)
+                    for k, v in r.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -245,8 +245,8 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
         if pallas_bwd:
             out = _pd.tsc_gather_grads_pallas(cot, pos, g, halo=halo,
                                               block=block, interpret=interpret,
-                                              bf16=bf16_bwd)
-            return (out[1:],)
+                                              bf16=bf16_bwd, want_value=False)
+            return (out,)
         return (tsc_weight_grad_gather(cot, pos, g),)
 
     dep.defvjp(dep_fwd, dep_bwd)

@@ -121,8 +121,16 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
 
         # one-hots are built TRANSPOSED (targets on sublanes, particles on
         # lanes): a (T,) lane vector broadcasts to (n, T) for free, whereas
-        # (T,) -> (T, 1) is a lane->sublane relayout Mosaic refuses to lower
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (nxy, TS), 0)
+        # (T,) -> (T, 1) is a lane->sublane relayout Mosaic refuses to lower.
+        # The xy one-hot is SEPARABLE: build per-axis one-hots X (BX, TS) and
+        # Y (BY, TS) with 3 masked passes each, then form the flat (nxy, TS)
+        # one-hot as the outer product X[x,t]*Y[y,t] — one broadcast multiply
+        # instead of 9 full-size masked passes (the VPU construction work was
+        # the kernel's dominant cost, not the MXU dot: profile_step.json).
+        # Out-of-block targets fall off the per-axis iota range naturally, so
+        # no bounds sentinel is needed (flat-index aliasing is impossible).
+        x_ids = jax.lax.broadcasted_iota(jnp.int32, (BX, TS), 0)
+        y_ids = jax.lax.broadcasted_iota(jnp.int32, (BY, TS), 0)
         z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
 
         def tile_acc(r, s, acc):
@@ -137,18 +145,15 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
             ty = by.astype(jnp.int32) - y0
             tzi = bz.astype(jnp.int32)
 
-            AT = jnp.zeros((nxy, TS), jnp.float32)
-            for ox in (-1, 0, 1):
-                wx = _tsc_w(fx, ox)
-                txo = tx + ox
-                for oy in (-1, 0, 1):
-                    tyo = ty + oy
-                    w = wx * _tsc_w(fy, oy)
-                    inside = ((txo >= 0) & (txo < BX) & (tyo >= 0) &
-                              (tyo < BY))
-                    # -1 sentinel never matches a col id (no bool relayout)
-                    t = jnp.where(inside, txo * BY + tyo, -1)
-                    AT = AT + jnp.where(col_ids == t[None, :], w[None, :], 0.0)
+            X = jnp.zeros((BX, TS), jnp.float32)
+            Y = jnp.zeros((BY, TS), jnp.float32)
+            for o in (-1, 0, 1):
+                X = X + jnp.where(x_ids == (tx + o)[None, :],
+                                  _tsc_w(fx, o)[None, :], 0.0)
+                Y = Y + jnp.where(y_ids == (ty + o)[None, :],
+                                  _tsc_w(fy, o)[None, :], 0.0)
+            AT = (X.reshape(BX, 1, TS) * Y.reshape(1, BY, TS)
+                  ).reshape(nxy, TS)
 
             wm = p_ref[6, r, sl].reshape(TS) if weighted else 1.0
             BT = jnp.zeros((N3, TS), jnp.float32)
@@ -179,11 +184,14 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
     return body
 
 
-def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
+def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False,
+                        want_value: bool = True):
     """Program owns a (BX, BY) block of *particles*; reads the (WX, WY, N3)
     field window around it; emits (4, BX, BY, N3):
         [0] value gather  sum_o w_o field(base+o)           (interpolate_TSC)
         [1..3] d/dpos_i   sum_o dw_o/dpos_i field(base+o)   (deposit adjoint)
+    With want_value=False the value channel is dropped (3, BX, BY, N3) —
+    the deposit VJP only consumes the position gradients.
 
     bf16=True casts the dot operands to bfloat16 (full-rate MXU, ~4x fp32;
     ~2^-9 relative rounding).  Safe on the *force* path: leapfrog with any
@@ -200,6 +208,7 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
     TS = _sub_tile(T, 4 * WXY + 5 * N3)
     n_sub = T // TS
     dot_dt = jnp.bfloat16 if bf16 else jnp.float32
+    cg = 1 if want_value else 0  # gradient-channel offset
 
     def body(p_ref, f_ref, out_ref):
         # p_ref and out_ref have (y, z) pre-flattened (Mosaic reshape limits,
@@ -213,8 +222,16 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
 
         win = f_ref[...].reshape(WXY, N3)
         win_d = win.astype(dot_dt)  # cast once per block, not per tile
-        # transposed one-hots: see _make_kernel for the Mosaic layout rule
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WXY, TS), 0)
+        # per-axis transposed one-hots (see _make_kernel): the flat (WXY, TS)
+        # weight matrices are outer products of small X (WX, TS) and Y
+        # (WY, TS) factors — 3 masked passes per axis + 3 broadcast
+        # multiplies, instead of 9 full-size masked passes per output
+        # channel.  A halo-contract-violating particle's txo/tyo falls off
+        # the per-axis iota range, so it loses its forward AND backward
+        # contribution with no explicit bounds mask (the flat-index aliasing
+        # that required one is structurally impossible here).
+        x_ids = jax.lax.broadcasted_iota(jnp.int32, (WX, TS), 0)
+        y_ids = jax.lax.broadcasted_iota(jnp.int32, (WY, TS), 0)
         z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
 
         def tile(r, s):
@@ -229,32 +246,20 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
             ty = by.astype(jnp.int32) - wy0
             tzi = bz.astype(jnp.int32)
 
-            A_val = jnp.zeros((WXY, TS), jnp.float32)
-            A_dx = jnp.zeros((WXY, TS), jnp.float32)
-            A_dy = jnp.zeros((WXY, TS), jnp.float32)
-            for ox in (-1, 0, 1):
-                wxo = _tsc_w(fx, ox)
-                dwxo = _tsc_dw(fx, ox)
-                txo = tx + ox
-                for oy in (-1, 0, 1):
-                    tyo = ty + oy
-                    # inside-window mask, mirroring the deposit kernel: a
-                    # halo-contract-violating particle must lose BOTH its
-                    # forward contribution and its backward gather (otherwise
-                    # txo*WY+tyo can alias into a valid window cell and make
-                    # primal and gradient inconsistent).  The mask zeroes the
-                    # (TS,) y-weights rather than ANDing into the (WXY, TS)
-                    # `hit` pattern: keeping `hit` a pure iota-equality is
-                    # what Mosaic lowers to the fast one-hot compare (the
-                    # ANDed variant measured 2.1x slower end-to-end).
-                    inb = ((txo >= 0) & (txo < WX)
-                           & (tyo >= 0) & (tyo < WY)).astype(jnp.float32)
-                    wyo = _tsc_w(fy, oy) * inb
-                    dwyo = _tsc_dw(fy, oy) * inb
-                    hit = col_ids == (txo * WY + tyo)[None, :]
-                    A_val = A_val + jnp.where(hit, (wxo * wyo)[None, :], 0.0)
-                    A_dx = A_dx + jnp.where(hit, (dwxo * wyo)[None, :], 0.0)
-                    A_dy = A_dy + jnp.where(hit, (wxo * dwyo)[None, :], 0.0)
+            X_val = jnp.zeros((WX, TS), jnp.float32)
+            X_dx = jnp.zeros((WX, TS), jnp.float32)
+            Y_val = jnp.zeros((WY, TS), jnp.float32)
+            Y_dy = jnp.zeros((WY, TS), jnp.float32)
+            for o in (-1, 0, 1):
+                hx = x_ids == (tx + o)[None, :]
+                X_val = X_val + jnp.where(hx, _tsc_w(fx, o)[None, :], 0.0)
+                X_dx = X_dx + jnp.where(hx, _tsc_dw(fx, o)[None, :], 0.0)
+                hy = y_ids == (ty + o)[None, :]
+                Y_val = Y_val + jnp.where(hy, _tsc_w(fy, o)[None, :], 0.0)
+                Y_dy = Y_dy + jnp.where(hy, _tsc_dw(fy, o)[None, :], 0.0)
+
+            outer = lambda X, Y: (X.reshape(WX, 1, TS) *
+                                  Y.reshape(1, WY, TS)).reshape(WXY, TS)
 
             B_val = jnp.zeros((N3, TS), jnp.float32)
             B_dz = jnp.zeros((N3, TS), jnp.float32)
@@ -270,14 +275,15 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False):
                 win_d, A.astype(dot_dt),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            MT_val = dot(A_val)   # [N3, TS]
-            MT_dx = dot(A_dx)
-            MT_dy = dot(A_dy)
+            MT_val = dot(outer(X_val, Y_val))   # [N3, TS]
+            MT_dx = dot(outer(X_dx, Y_val))
+            MT_dy = dot(outer(X_val, Y_dy))
 
-            out_ref[0, r, sl] = (MT_val * B_val).sum(0)
-            out_ref[1, r, sl] = (MT_dx * B_val).sum(0)
-            out_ref[2, r, sl] = (MT_dy * B_val).sum(0)
-            out_ref[3, r, sl] = (MT_val * B_dz).sum(0)
+            if want_value:
+                out_ref[0, r, sl] = (MT_val * B_val).sum(0)
+            out_ref[cg + 0, r, sl] = (MT_dx * B_val).sum(0)
+            out_ref[cg + 1, r, sl] = (MT_dy * B_val).sum(0)
+            out_ref[cg + 2, r, sl] = (MT_val * B_dz).sum(0)
 
         def row_body(r, _):
             for s in range(n_sub):
@@ -298,15 +304,18 @@ def _tsc_dw(dx, s):
 
 def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
                             block: tuple = (8, 8), interpret: bool = False,
-                            bf16: bool = False):
+                            bf16: bool = False, want_value: bool = True):
     """(value, dV/dx, dV/dy, dV/dz) gathers at particle positions via the
-    windowed block kernel; shape (4,) + grid.  Gradients are per *physical*
-    position (divided by the cell size)."""
+    windowed block kernel; shape (4,) + grid.  With want_value=False only
+    the 3 position gradients are computed, shape (3,) + grid (the deposit
+    VJP path).  Gradients are per *physical* position (divided by the cell
+    size)."""
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
     assert halo > 0, "pallas gather needs a resolved halo (cells) > 0"
     halo = -(-halo // 4) * 4  # Mosaic: WY must divide by 8 (see deposit)
     WX, WY = BX + 2 * halo, BY + 2 * halo
+    nch = 4 if want_value else 3
     part = _phase_a(pos, g, halo)
     # field window needs no coordinate adjustment — plain wrap padding
     fpad = jnp.concatenate([field[-halo:], field, field[:halo]], axis=0)
@@ -319,20 +328,21 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
 
     grid = (g.N1 // BX, g.N2 // BY)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16),
-        out_shape=jax.ShapeDtypeStruct((4, g.N1, g.N2 * g.N3), jnp.float32),
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16,
+                            want_value=want_value),
+        out_shape=jax.ShapeDtypeStruct((nch, g.N1, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, BX, BY * g.N3), lambda i, j: (0, i, j)),
             pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
                          index_map=lambda i, j: (i * BX, j * BY, 0)),
         ],
-        out_specs=pl.BlockSpec((4, BX, BY * g.N3), lambda i, j: (0, i, j)),
+        out_specs=pl.BlockSpec((nch, BX, BY * g.N3), lambda i, j: (0, i, j)),
         interpret=interpret,
     )(part_c, fpad)
-    out = out.reshape((4,) + g.shape)
+    out = out.reshape((nch,) + g.shape)
     d = jnp.asarray(g.cell, jnp.float32).reshape(3, 1, 1, 1)
-    return out.at[1:].divide(d)
+    return out.at[nch - 3:].divide(d)
 
 
 def displacement_bound_cells(delta, g: GridSpec, fc, gp) -> int:
@@ -440,15 +450,18 @@ def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
 
 def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
                                  devf, halo: int, block: tuple = (8, 8),
-                                 interpret: bool = False, bf16: bool = False):
+                                 interpret: bool = False, bf16: bool = False,
+                                 want_value: bool = True):
     """(value, dV/dx, dV/dy, dV/dz) gathers of an extended-slab field at
     slab-local particle positions — the exact adjoint of
     tsc_deposit_pallas_slab w.r.t. the extended buffer.  Shape
-    (4, n1_loc, N2, N3); gradients are per physical position."""
+    (4, n1_loc, N2, N3), or (3, ...) gradients only with want_value=False;
+    gradients are per physical position."""
     BX, BY = block
     assert halo % 4 == 0 and halo > 0
     assert n1_loc % BX == 0 and g.N2 % BY == 0
     WX, WY = BX + 2 * halo, BY + 2 * halo
+    nch = 4 if want_value else 3
     part = _slab_channels(pos, g, n1_loc, devf)
     part = part.reshape(6, n1_loc, g.N2 * g.N3)
     # field is the extended buffer: x margins already present; y wraps
@@ -457,20 +470,21 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
 
     grid = (n1_loc // BX, g.N2 // BY)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16),
-        out_shape=jax.ShapeDtypeStruct((4, n1_loc, g.N2 * g.N3), jnp.float32),
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16,
+                            want_value=want_value),
+        out_shape=jax.ShapeDtypeStruct((nch, n1_loc, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, BX, BY * g.N3), lambda i, j: (0, i, j)),
             pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
                          index_map=lambda i, j: (i * BX, j * BY, 0)),
         ],
-        out_specs=pl.BlockSpec((4, BX, BY * g.N3), lambda i, j: (0, i, j)),
+        out_specs=pl.BlockSpec((nch, BX, BY * g.N3), lambda i, j: (0, i, j)),
         interpret=interpret,
     )(part, fpad)
-    out = out.reshape((4, n1_loc, g.N2, g.N3))
+    out = out.reshape((nch, n1_loc, g.N2, g.N3))
     d = jnp.asarray(g.cell, jnp.float32).reshape(3, 1, 1, 1)
-    return out.at[1:].divide(d)
+    return out.at[nch - 3:].divide(d)
 
 
 def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),

@@ -151,8 +151,8 @@ def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
         pos, devf = res
         out = _pd.tsc_gather_grads_pallas_slab(
             cot, pos, g, n1_loc, devf, halo4, block=block, interpret=interpret,
-            bf16=bf16_bwd)
-        return out[1:], jnp.zeros_like(devf)
+            bf16=bf16_bwd, want_value=False)
+        return out, jnp.zeros_like(devf)
 
     dep.defvjp(dep_fwd, dep_bwd)
     return dep, halo4
