@@ -68,10 +68,14 @@ def kernel_h(fc: ForwardConfig, g: GridSpec) -> float:
 
 
 def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
-            return_pos: bool = False):
-    """delta_lag -> (delta_eul [, pos]) with unit-mass regular-grid particles."""
+            return_pos: bool = False, transfer=None):
+    """delta_lag -> (delta_eul [, pos]) with unit-mass regular-grid particles.
+
+    `transfer` = optional (t_zeld, t_2lpt) rfft-layout FS kernels applied to
+    the linear field / 2LPT source on the non-Zel'dovich path — the TRANSF
+    build's auxtransfzeld/auxtransf2lpt convolutions (Lag2Eul.cc:174-191)."""
     psi = lpt.lpt_psi(delta_lag, g, fc.sfmodel, gp.D1, gp.D2, fc.slength,
-                      deriv_scheme=fc.deriv_scheme)
+                      deriv_scheme=fc.deriv_scheme, transfer=transfer)
     pos = particles.displace(psi, g)
     if fc.rsd:
         # v = c_pecvel * Psi (Zel'dovich-only velocities, Lag2Eul.cc:375-381)

@@ -95,17 +95,32 @@ def _second_order_source(delta_C, g: GridSpec, deriv_scheme: str = "fft"):
     return pxx * pyy - pxy * pxy + pxx * pzz - pxz * pxz + pyy * pzz - pyz * pyz
 
 
+def _apply_transf(x, t_rfft, g: GridSpec):
+    """FS multiply by a transfer kernel grid (convcompb,
+    /root/reference/barlib/src/convolution.cpp:380-403)."""
+    if t_rfft is None:
+        return x
+    return fourier.irfft3(t_rfft * fourier.rfft3(x), g)
+
+
 def two_lpt_div_psi(delta1, g: GridSpec, D1: float, D2: float,
-                    deriv_scheme: str = "fft"):
-    """div Psi_2LPT = -D1 delta1 + D2 m2v (D2 < 0)."""
+                    deriv_scheme: str = "fft", transfer=None):
+    """div Psi_2LPT = -D1 delta1 + D2 m2v (D2 < 0).
+
+    `transfer` = optional (t_zeld, t_2lpt) rfft-layout kernels convolved
+    into the linear field and the 2LPT source — the reference's TRANSF
+    build (auxtransfzeld/auxtransf2lpt files, Lag2Eul.cc:174-191)."""
+    t_zeld, t_2lpt = transfer if transfer is not None else (None, None)
     m2v = _second_order_source(fourier.rfft3(delta1), g, deriv_scheme)
-    return -D1 * delta1 + D2 * m2v
+    return (-D1 * _apply_transf(delta1, t_zeld, g)
+            + D2 * _apply_transf(m2v, t_2lpt, g))
 
 
 def two_lpt_psi(delta1, g: GridSpec, D1: float, D2: float,
-                deriv_scheme: str = "fft"):
+                deriv_scheme: str = "fft", transfer=None):
     return _psi_from_div_C(
-        fourier.rfft3(two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme)), g)
+        fourier.rfft3(two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme,
+                                      transfer)), g)
 
 
 def spherical_collapse_div_psi(delta1, g: GridSpec, D1: float):
@@ -127,7 +142,8 @@ def cellbound(v):
 
 
 def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
-             apply_cellbound: bool = True, deriv_scheme: str = "fft"):
+             apply_cellbound: bool = True, deriv_scheme: str = "fft",
+             transfer=None):
     """ALPT: Gaussian long/short-range split at scale `slength`:
     div = K o div_2LPT + (1 - K) o div_SC, then one displacement solve.
 
@@ -137,7 +153,7 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
     also applies cellboundcomp to each component (Lag2Eul.cc:290,300,311);
     kept for parity via `apply_cellbound`.
     """
-    div_2lpt = two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme)
+    div_2lpt = two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme, transfer)
     div_sc = spherical_collapse_div_psi(delta1, g, D1)
     K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
     div_C = K * fourier.rfft3(div_2lpt) + (1.0 - K) * fourier.rfft3(div_sc)
@@ -148,12 +164,16 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
 
 
 def lpt_psi(delta1, g: GridSpec, sfmodel: int, D1: float, D2: float,
-            slength: float, deriv_scheme: str = "fft"):
-    """Dispatch like Lag2Eul (Lag2Eul.cc:318-332). sfmodel is static."""
+            slength: float, deriv_scheme: str = "fft", transfer=None):
+    """Dispatch like Lag2Eul (Lag2Eul.cc:318-332). sfmodel is static.
+
+    `transfer` (TRANSF build) only exists on the non-Zel'dovich path, as in
+    the reference (the #ifdef sits in Lag2Eul_non_zeldovich only)."""
     if sfmodel == 1:
         return zeldovich_psi(delta1, g, D1)
     if sfmodel == 2:
-        return two_lpt_psi(delta1, g, D1, D2, deriv_scheme)
+        return two_lpt_psi(delta1, g, D1, D2, deriv_scheme, transfer)
     if sfmodel == 3:
-        return alpt_psi(delta1, g, D1, D2, slength, deriv_scheme=deriv_scheme)
+        return alpt_psi(delta1, g, D1, D2, slength, deriv_scheme=deriv_scheme,
+                        transfer=transfer)
     raise ValueError(f"unknown sfmodel {sfmodel}")

@@ -104,6 +104,14 @@ def _sub_tile(T: int, weight: int, budget_bytes: int = 6 << 20) -> int:
 
 def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
                  bf16: bool = False):
+    """Sub-tiling stays an in-kernel loop here (unlike the gather, whose
+    sub-tile is a grid dimension): the deposit's overlapping particle
+    windows need Element-indexed blocks, and Mosaic cannot prove lane
+    alignment of the two-term Element offset j*BY*N3 + s*TS a grid-dim
+    version needs.  The in-kernel p_ref[c, r, sl] load (dynamic sublane +
+    possibly nonzero lane offset) lowers fine in every reachable deposit
+    config: n_sub >= 2 only occurs at 256^3 under shard_map, and vmapped
+    chains only fit on a chip at n_sub == 1 scales."""
     nxy = BX * BY
     T = WY * N3  # particles per x-row tile of the window
     TS = _sub_tile(T, N3 + nxy)
@@ -184,7 +192,7 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
     return body
 
 
-def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False,
+def _make_gather_kernel(BX, BY, N3, WX, WY, halo, TS, bf16: bool = False,
                         want_value: bool = True):
     """Program owns a (BX, BY) block of *particles*; reads the (WX, WY, N3)
     field window around it; emits (4, BX, BY, N3):
@@ -199,21 +207,16 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False,
     accept uses the exact f32 psi, so the sampled measure is unchanged —
     bf16 force error only costs a marginal bit of acceptance rate.
     """
-    T = BY * N3
     WXY = WX * WY
-    # working set per tile: 3 A one-hots (WXY rows) + 2 B one-hots (N3) +
-    # 3 MT dot results (N3) + bf16/copy slack (~WXY) — the (16,8)-block
-    # gather hit the 16 MB scoped-VMEM stack limit with the old 3*WXY+2*N3
-    # estimate (18.27M actual)
-    TS = _sub_tile(T, 4 * WXY + 5 * N3)
-    n_sub = T // TS
     dot_dt = jnp.bfloat16 if bf16 else jnp.float32
     cg = 1 if want_value else 0  # gradient-channel offset
 
     def body(p_ref, f_ref, out_ref):
         # p_ref and out_ref have (y, z) pre-flattened (Mosaic reshape limits,
-        # see _make_kernel); f_ref stays 3-D — its (WX, WY, N3) -> (WXY, N3)
-        # reshape merges leading dims only, which Mosaic lowers fine
+        # see _make_kernel) and carry one TS-wide sub-tile (the innermost
+        # grid dim, see _make_kernel); f_ref stays 3-D — its
+        # (WX, WY, N3) -> (WXY, N3) reshape merges leading dims only, which
+        # Mosaic lowers fine
         I = pl.program_id(0)
         J = pl.program_id(1)
         # window origin in unwrapped cell coords
@@ -234,14 +237,13 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False,
         y_ids = jax.lax.broadcasted_iota(jnp.int32, (WY, TS), 0)
         z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
 
-        def tile(r, s):
-            sl = slice(s * TS, (s + 1) * TS)
-            bx = p_ref[0, r, sl].reshape(TS)
-            by = p_ref[1, r, sl].reshape(TS)
-            bz = p_ref[2, r, sl].reshape(TS)
-            fx = p_ref[3, r, sl].reshape(TS)
-            fy = p_ref[4, r, sl].reshape(TS)
-            fz = p_ref[5, r, sl].reshape(TS)
+        def row_body(r, _):
+            bx = p_ref[0, r, :].reshape(TS)
+            by = p_ref[1, r, :].reshape(TS)
+            bz = p_ref[2, r, :].reshape(TS)
+            fx = p_ref[3, r, :].reshape(TS)
+            fy = p_ref[4, r, :].reshape(TS)
+            fz = p_ref[5, r, :].reshape(TS)
             tx = bx.astype(jnp.int32) - wx0   # in [1, WX-2] by the contract
             ty = by.astype(jnp.int32) - wy0
             tzi = bz.astype(jnp.int32)
@@ -280,14 +282,10 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, bf16: bool = False,
             MT_dy = dot(outer(X_val, Y_dy))
 
             if want_value:
-                out_ref[0, r, sl] = (MT_val * B_val).sum(0)
-            out_ref[cg + 0, r, sl] = (MT_dx * B_val).sum(0)
-            out_ref[cg + 1, r, sl] = (MT_dy * B_val).sum(0)
-            out_ref[cg + 2, r, sl] = (MT_val * B_dz).sum(0)
-
-        def row_body(r, _):
-            for s in range(n_sub):
-                tile(r, s)
+                out_ref[0, r, :] = (MT_val * B_val).sum(0)
+            out_ref[cg + 0, r, :] = (MT_dx * B_val).sum(0)
+            out_ref[cg + 1, r, :] = (MT_dy * B_val).sum(0)
+            out_ref[cg + 2, r, :] = (MT_val * B_dz).sum(0)
             return 0
 
         jax.lax.fori_loop(0, BX, row_body, 0)
@@ -326,18 +324,26 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     # cannot merge sublane+lane inside the kernel (see _make_kernel)
     part_c = part[:, halo:-halo, halo:-halo].reshape(6, g.N1, g.N2 * g.N3)
 
-    grid = (g.N1 // BX, g.N2 // BY)
+    # working set per sub-tile: 3 A outer products (WXY rows) + 2 B one-hots
+    # (N3) + 3 MT dot results (N3) + bf16/copy slack (~WXY); sub-tiles are
+    # the innermost grid dim (see _make_kernel on why)
+    WXY = WX * WY
+    T = BY * g.N3
+    TS = _sub_tile(T, 4 * WXY + 5 * g.N3)
+    n_sub = T // TS
+    grid = (g.N1 // BX, g.N2 // BY, n_sub)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16,
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, TS, bf16=bf16,
                             want_value=want_value),
         out_shape=jax.ShapeDtypeStruct((nch, g.N1, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, BX, BY * g.N3), lambda i, j: (0, i, j)),
+            pl.BlockSpec((6, BX, TS), lambda i, j, s: (0, i, j * n_sub + s)),
             pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
-                         index_map=lambda i, j: (i * BX, j * BY, 0)),
+                         index_map=lambda i, j, s: (i * BX, j * BY, 0)),
         ],
-        out_specs=pl.BlockSpec((nch, BX, BY * g.N3), lambda i, j: (0, i, j)),
+        out_specs=pl.BlockSpec((nch, BX, TS),
+                               lambda i, j, s: (0, i, j * n_sub + s)),
         interpret=interpret,
     )(part_c, fpad)
     out = out.reshape((nch,) + g.shape)
@@ -468,18 +474,22 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
     fpad = jnp.concatenate(
         [ext_field[:, -halo:], ext_field, ext_field[:, :halo]], axis=1)
 
-    grid = (n1_loc // BX, g.N2 // BY)
+    T = BY * g.N3
+    TS = _sub_tile(T, 4 * WX * WY + 5 * g.N3)
+    n_sub = T // TS
+    grid = (n1_loc // BX, g.N2 // BY, n_sub)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, bf16=bf16,
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, TS, bf16=bf16,
                             want_value=want_value),
         out_shape=jax.ShapeDtypeStruct((nch, n1_loc, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, BX, BY * g.N3), lambda i, j: (0, i, j)),
+            pl.BlockSpec((6, BX, TS), lambda i, j, s: (0, i, j * n_sub + s)),
             pl.BlockSpec((Element(WX), Element(WY), Element(g.N3)),
-                         index_map=lambda i, j: (i * BX, j * BY, 0)),
+                         index_map=lambda i, j, s: (i * BX, j * BY, 0)),
         ],
-        out_specs=pl.BlockSpec((nch, BX, BY * g.N3), lambda i, j: (0, i, j)),
+        out_specs=pl.BlockSpec((nch, BX, TS),
+                               lambda i, j, s: (0, i, j * n_sub + s)),
         interpret=interpret,
     )(part, fpad)
     out = out.reshape((nch, n1_loc, g.N2, g.N3))

@@ -41,6 +41,12 @@ def main(argv=None):
     sp.add_argument("--masskernel", default="sph_ft")
     sp.add_argument("--z", type=float, default=0.0)
     sp.add_argument("--slength", type=float, default=4.0)
+    sp.add_argument("--transf-zeld", default=None,
+                    help="TRANSF build: auxtransfzeld kernel grid (.dat, full "
+                         "N^3 layout) convolved into the linear field "
+                         "(Lag2Eul.cc:174-191)")
+    sp.add_argument("--transf-2lpt", default=None,
+                    help="TRANSF build: auxtransf2lpt kernel for the 2LPT source")
     sp.add_argument("--out", default=None)
 
     sp = sub.add_parser("density", help="x,y,z particle files -> SPH density grid")
