@@ -300,3 +300,21 @@ def test_rsd_radial_origin_offset():
     _, pos0 = lag2eul(delta, g, fc0, gp, return_pos=True)
     _, pos1 = lag2eul(delta, g, fc_shift, gp, return_pos=True)
     np.testing.assert_allclose(np.asarray(pos1), np.asarray(pos0), atol=1e-5)
+
+
+def test_lag2eul_transfer_kernels():
+    """TRANSF build (Lag2Eul.cc:174-191): FS kernels convolved into the
+    linear field / 2LPT source on the non-Zel'dovich path."""
+    delta = rf.grf(jax.random.key(11), G, jnp.full(G.rshape, 20.0))
+    ones = jnp.ones(G.rshape)
+    base = lpt.two_lpt_div_psi(delta, G, 1.0, -3.0 / 7.0)
+    same = lpt.two_lpt_div_psi(delta, G, 1.0, -3.0 / 7.0,
+                               transfer=(ones, ones))
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    # t_zeld = 0.5 scales only the linear term: div' = div + 0.5*D1*delta
+    half = lpt.two_lpt_div_psi(delta, G, 1.0, -3.0 / 7.0,
+                               transfer=(0.5 * ones, None))
+    np.testing.assert_allclose(np.asarray(half),
+                               np.asarray(base + 0.5 * delta),
+                               rtol=1e-4, atol=1e-5)

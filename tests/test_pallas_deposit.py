@@ -261,3 +261,32 @@ def test_gather_window_mask_brute_force():
                     acc += w(fx, ox) * w(fy, oy) * w(fz, oz) * fv
         np.testing.assert_allclose(out[0, i, j, k], acc,
                                    atol=1e-5, err_msg=f"particle {(i,j,k)}")
+
+
+def test_gather_grads_subtiled_grid_dim(monkeypatch):
+    """n_sub >= 2 puts the sub-tile on the innermost grid dimension (the
+    vmapped-chains Mosaic fix); force it via a tiny VMEM budget and pin
+    against the single-tile result, vmapped."""
+    pos, _ = displaced_positions()
+    field = rf.grf(jax.random.key(5), G, jnp.full(G.rshape, 10.0))
+    ref = pd.tsc_gather_grads_pallas(field, pos, G, halo=4, interpret=True)
+    monkeypatch.setattr(pd, "_sub_tile",
+                        lambda T, w, budget_bytes=6 << 20: max(T // 4, 1))
+    out = jax.vmap(lambda f: pd.tsc_gather_grads_pallas(
+        f, pos, G, halo=4, interpret=True))(jnp.stack([field, 2.0 * field]))
+    assert out.shape == (2,) + ref.shape
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), 2.0 * np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gather_grads_want_value_false():
+    pos, _ = displaced_positions()
+    field = rf.grf(jax.random.key(6), G, jnp.full(G.rshape, 10.0))
+    full = pd.tsc_gather_grads_pallas(field, pos, G, halo=4, interpret=True)
+    grads = pd.tsc_gather_grads_pallas(field, pos, G, halo=4, interpret=True,
+                                       want_value=False)
+    assert grads.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(full[1:]),
+                               rtol=1e-6)
