@@ -117,7 +117,17 @@ def run_tool(args):
         mk = args.masskernel
         mk = int(mk) if mk.isdigit() else mk
         fc = ForwardConfig(sfmodel=args.sfmodel, masskernel=mk, slength=args.slength)
-        d_eul = jax.jit(lambda x: lag2eul(x, g, fc, gp))(x)
+        transfer = None
+        if args.transf_zeld or args.transf_2lpt:
+            # TRANSF build kernels, stored full-layout like the reference's
+            # auxtransf* files; keep the rfft half (Lag2Eul.cc:174-191)
+            def load_t(fname):
+                if not fname:
+                    return None
+                t = jnp.asarray(bio.read_array(fname, g.shape))
+                return t[:, :, : g.rshape[2]]
+            transfer = (load_t(args.transf_zeld), load_t(args.transf_2lpt))
+        d_eul = jax.jit(lambda x: lag2eul(x, g, fc, gp, transfer=transfer))(x)
         out = args.out or f"{args.fname_in}_eul"
         bio.write_array(out, np.asarray(d_eul))
         print(f"wrote {out}.dat")

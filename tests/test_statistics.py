@@ -89,3 +89,15 @@ def test_tools_cli_lag2eul_and_upres(tmp_path):
     assert main(["interp_upres", str(fname), "16", "160.0", "32"]) == 0
     up = bio.read_array(str(fname) + "_interpCIC32", (32, 32, 32))
     assert up.std() > 0
+    # TRANSF kernels: identity kernels must reproduce the plain 2LPT run
+    tname = tmp_path / "auxtransf"
+    bio.write_array(tname, np.ones(G.shape, np.float32))
+    assert main(["lag2eul", str(fname), "16", "160.0", "--sfmodel", "2",
+                 "--out", str(tmp_path / "plain")]) == 0
+    assert main(["lag2eul", str(fname), "16", "160.0", "--sfmodel", "2",
+                 "--transf-zeld", str(tname) + ".dat",
+                 "--transf-2lpt", str(tname) + ".dat",
+                 "--out", str(tmp_path / "transf")]) == 0
+    a = bio.read_array(tmp_path / "plain", G.shape)
+    b = bio.read_array(tmp_path / "transf", G.shape)
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
