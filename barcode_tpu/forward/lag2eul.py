@@ -34,6 +34,14 @@ class ForwardConfig:
                               # disp_part).  Positions here are box-relative,
                               # so the origin only enters the radial-RSD
                               # observer geometry: obs_eff = observer - origin.
+                              # DELIBERATE DEVIATION: the reference passes
+                              # xobs unmodified to calc_pos_rsd (rsd.cc:36)
+                              # against *box-relative* positions, i.e. strict
+                              # parity would be obs_eff = observer even when
+                              # xllc != 0 — but the reference is internally
+                              # inconsistent there (getDensity_* subtracts min
+                              # from those same positions), so we interpret
+                              # xobs/yobs/zobs as absolute-frame coordinates.
     periodic: bool = True
     slength: float = 4.0      # ALPT long/short split scale [Mpc/h]
     kernel_h_rel: float = 1.0  # SPH kernel scale in mean-cell units

@@ -152,9 +152,18 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
     so blending the divergences first is equivalent and saves 12 FFTs.  It
     also applies cellboundcomp to each component (Lag2Eul.cc:290,300,311);
     kept for parity via `apply_cellbound`.
+
+    TRANSF data flow (Lag2Eul.cc:156-191 then 226): m2v is computed from the
+    *raw* delta1, after which the auxtransfzeld convolution replaces delta1
+    itself — so the transferred field feeds BOTH the 2LPT linear term
+    (D1*dummy at :195) and the spherical-collapse psilin=-D1*dummy (:212).
+    We mirror that: transfer delta1 once, reuse it for both terms.
     """
-    div_2lpt = two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme, transfer)
-    div_sc = spherical_collapse_div_psi(delta1, g, D1)
+    t_zeld, t_2lpt = transfer if transfer is not None else (None, None)
+    m2v = _second_order_source(fourier.rfft3(delta1), g, deriv_scheme)
+    delta1_t = _apply_transf(delta1, t_zeld, g)
+    div_2lpt = -D1 * delta1_t + D2 * _apply_transf(m2v, t_2lpt, g)
+    div_sc = spherical_collapse_div_psi(delta1_t, g, D1)
     K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
     div_C = K * fourier.rfft3(div_2lpt) + (1.0 - K) * fourier.rfft3(div_sc)
     psi = _psi_from_div_C(div_C, g)

@@ -115,6 +115,7 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
     nxy = BX * BY
     T = WY * N3  # particles per x-row tile of the window
     TS = _sub_tile(T, N3 + nxy)
+    assert T % TS == 0, (T, TS)  # odd-factor T would drop the tail silently
     n_sub = T // TS
     dot_dt = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -330,6 +331,9 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     WXY = WX * WY
     T = BY * g.N3
     TS = _sub_tile(T, 4 * WXY + 5 * g.N3)
+    # with sub-tile as a grid dim, a non-divisor TS would silently misalign
+    # every j>0 block (offset j*n_sub + s) — fail loudly instead
+    assert T % TS == 0, (T, TS)
     n_sub = T // TS
     grid = (g.N1 // BX, g.N2 // BY, n_sub)
     out = pl.pallas_call(
@@ -476,6 +480,7 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
 
     T = BY * g.N3
     TS = _sub_tile(T, 4 * WX * WY + 5 * g.N3)
+    assert T % TS == 0, (T, TS)  # see tsc_gather_grads_pallas
     n_sub = T // TS
     grid = (n1_loc // BX, g.N2 // BY, n_sub)
     out = pl.pallas_call(

@@ -318,3 +318,25 @@ def test_lag2eul_transfer_kernels():
     np.testing.assert_allclose(np.asarray(half),
                                np.asarray(base + 0.5 * delta),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_alpt_transf_feeds_spherical_collapse():
+    """TRANSF data flow on the ALPT path (Lag2Eul.cc:156-212): auxtransfzeld
+    replaces delta1 BEFORE the SC term, so psilin = -D1 * (t_zeld o delta1),
+    while m2v comes from the raw delta1.  Pin with a constant kernel c: the
+    transferred run must equal a manual rebuild with delta1 -> c*delta1 in
+    the linear + SC terms only."""
+    delta = 0.3 * rf.grf(jax.random.key(12), G, jnp.full(G.rshape, 20.0))
+    c = 0.5
+    ones = jnp.ones(G.rshape)
+    D1, D2, sl = 1.0, -3.0 / 7.0, G.L1 / G.N1 * 2.0
+    got = lpt.alpt_psi(delta, G, D1, D2, sl, transfer=(c * ones, None))
+    # manual composition mirroring the reference ordering
+    m2v = lpt._second_order_source(fourier.rfft3(delta), G)
+    div2 = -D1 * (c * delta) + D2 * m2v
+    divsc = lpt.spherical_collapse_div_psi(c * delta, G, D1)
+    K = jnp.exp(-fourier.k_squared(G) * sl * sl / 2.0)
+    want = lpt.cellbound(lpt._psi_from_div_C(
+        K * fourier.rfft3(div2) + (1.0 - K) * fourier.rfft3(divsc), G))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)
