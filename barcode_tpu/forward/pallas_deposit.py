@@ -32,10 +32,13 @@ from jax._src.pallas.core import Element
 from barcode_tpu.grid.spec import GridSpec
 
 
-def _phase_a(pos, g: GridSpec, halo: int, weights=None):
+def _phase_a(pos, g: GridSpec, halo_x: int, halo_y: int, weights=None):
     """Per-particle base cells (x/y adjusted-padded, z raw) and fracs,
-    stacked as one (6, N1+2H, N2+2H, N3) float32 array — 7 channels when
-    per-particle `weights` (grid shape) are given (channel 6 = weight)."""
+    stacked as one (6, N1+2Hx, N2+2Hy, N3) float32 array — 7 channels when
+    per-particle `weights` (grid shape) are given (channel 6 = weight).
+    The halos may differ per axis: Mosaic's divisibility constraint only
+    binds one window axis per kernel (see _round_halo), so the other axis
+    keeps the tight measured halo."""
     d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
     u = pos / d
     base = jnp.floor(u)
@@ -66,15 +69,26 @@ def _phase_a(pos, g: GridSpec, halo: int, weights=None):
     # local-target arithmetic needs no modulo in x/y
     adj_x = jnp.zeros(nc, jnp.float32).at[0].set(g.N1).reshape(nc, 1, 1, 1)
     stack = jnp.concatenate(
-        [stack[:, -halo:] - adj_x, stack, stack[:, :halo] + adj_x], axis=1)
+        [stack[:, -halo_x:] - adj_x, stack, stack[:, :halo_x] + adj_x], axis=1)
     adj_y = jnp.zeros(nc, jnp.float32).at[1].set(g.N2).reshape(nc, 1, 1, 1)
     stack = jnp.concatenate(
-        [stack[:, :, -halo:] - adj_y, stack, stack[:, :, :halo] + adj_y], axis=2)
+        [stack[:, :, -halo_y:] - adj_y, stack, stack[:, :, :halo_y] + adj_y],
+        axis=2)
     return stack
 
 
-def deposit_violations(pos, g: GridSpec, halo: int):
-    """Number of particles whose deposit support breaks the halo contract."""
+def _halo_pair(halo):
+    """Accept an int (same contract both axes) or an (hx, hy) pair."""
+    if isinstance(halo, (tuple, list)):
+        hx, hy = halo
+        return int(hx), int(hy)
+    return int(halo), int(halo)
+
+
+def deposit_violations(pos, g: GridSpec, halo):
+    """Number of particles whose deposit support breaks the halo contract
+    (per-axis when halo is an (hx, hy) pair)."""
+    hx, hy = _halo_pair(halo)
     d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
     base = jnp.floor(pos / d)
     q = jnp.stack(jnp.meshgrid(jnp.arange(g.N1), jnp.arange(g.N2),
@@ -82,13 +96,27 @@ def deposit_violations(pos, g: GridSpec, halo: int):
     off = base - q
     L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
     off = jnp.mod(off + L / 2, L) - L / 2  # min-image
-    return jnp.sum((jnp.abs(off[:2]) > halo - 1).any(axis=0))
+    lim = jnp.asarray([hx - 1, hy - 1], pos.dtype).reshape(2, 1, 1, 1)
+    return jnp.sum((jnp.abs(off[:2]) > lim).any(axis=0))
 
 
 def _tsc_w(dx, s):
     if s == 0:
         return 0.75 - dx * dx
     return 0.5 * (1.5 - jnp.abs(dx - s)) ** 2
+
+
+def _round_halo(halo: int, B: int) -> int:
+    """Smallest h >= halo with (B + 2h) % 8 == 0 — Mosaic requires the
+    second-to-last block dim to divide 8, and the window dim that lands
+    there is B + 2h (WX for the deposit's particle stack, WY for the
+    gather's field window).  With B = 8 this is the old round-to-mult-of-4;
+    with B = 4 halos of 2 mod 4 become legal, which matters because the
+    window area (and the kernels' MXU MACs) scales with (B + 2h)^2."""
+    h = halo
+    while (B + 2 * h) % 8:
+        h += 1
+    return h
 
 
 def _sub_tile(T: int, weight: int, budget_bytes: int = 6 << 20) -> int:
@@ -193,8 +221,8 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
     return body
 
 
-def _make_gather_kernel(BX, BY, N3, WX, WY, halo, TS, bf16: bool = False,
-                        want_value: bool = True):
+def _make_gather_kernel(BX, BY, N3, WX, WY, halo_x, halo_y, TS,
+                        bf16: bool = False, want_value: bool = True):
     """Program owns a (BX, BY) block of *particles*; reads the (WX, WY, N3)
     field window around it; emits (4, BX, BY, N3):
         [0] value gather  sum_o w_o field(base+o)           (interpolate_TSC)
@@ -220,9 +248,9 @@ def _make_gather_kernel(BX, BY, N3, WX, WY, halo, TS, bf16: bool = False,
         # Mosaic lowers fine
         I = pl.program_id(0)
         J = pl.program_id(1)
-        # window origin in unwrapped cell coords
-        wx0 = I * BX - halo
-        wy0 = J * BY - halo
+        # window origin in unwrapped cell coords (per-axis halos)
+        wx0 = I * BX - halo_x
+        wy0 = J * BY - halo_y
 
         win = f_ref[...].reshape(WXY, N3)
         win_d = win.astype(dot_dt)  # cast once per block, not per tile
@@ -308,22 +336,27 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     windowed block kernel; shape (4,) + grid.  With want_value=False only
     the 3 position gradients are computed, shape (3,) + grid (the deposit
     VJP path).  Gradients are per *physical* position (divided by the cell
-    size)."""
+    size).
+
+    `halo` may be an (hx, hy) pair; Mosaic's 8-divisibility only binds the
+    y window here (WY = BY + 2*hy is the field block's sublane dim), so hy
+    is rounded up while hx stays at the tight measured contract."""
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
-    assert halo > 0, "pallas gather needs a resolved halo (cells) > 0"
-    halo = -(-halo // 4) * 4  # Mosaic: WY must divide by 8 (see deposit)
-    WX, WY = BX + 2 * halo, BY + 2 * halo
+    hx, hy = _halo_pair(halo)
+    assert hx > 0 and hy > 0, "pallas gather needs a resolved halo > 0"
+    hy = _round_halo(hy, BY)  # Mosaic: WY = BY + 2*hy must divide by 8
+    WX, WY = BX + 2 * hx, BY + 2 * hy
     nch = 4 if want_value else 3
-    part = _phase_a(pos, g, halo)
+    part = _phase_a(pos, g, hx, hy)
     # field window needs no coordinate adjustment — plain wrap padding
-    fpad = jnp.concatenate([field[-halo:], field, field[:halo]], axis=0)
-    fpad = jnp.concatenate([fpad[:, -halo:], fpad, fpad[:, :halo]], axis=1)
+    fpad = jnp.concatenate([field[-hx:], field, field[:hx]], axis=0)
+    fpad = jnp.concatenate([fpad[:, -hy:], fpad, fpad[:, :hy]], axis=1)
 
     # the particle data here is the *unpadded* center block: slice the padded
     # stack back (cheaper than recomputing), then flatten (y, z) — Mosaic
     # cannot merge sublane+lane inside the kernel (see _make_kernel)
-    part_c = part[:, halo:-halo, halo:-halo].reshape(6, g.N1, g.N2 * g.N3)
+    part_c = part[:, hx:-hx, hy:-hy].reshape(6, g.N1, g.N2 * g.N3)
 
     # working set per sub-tile: 3 A outer products (WXY rows) + 2 B one-hots
     # (N3) + 3 MT dot results (N3) + bf16/copy slack (~WXY); sub-tiles are
@@ -337,7 +370,7 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     n_sub = T // TS
     grid = (g.N1 // BX, g.N2 // BY, n_sub)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, TS, bf16=bf16,
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, hx, hy, TS, bf16=bf16,
                             want_value=want_value),
         out_shape=jax.ShapeDtypeStruct((nch, g.N1, g.N2 * g.N3), jnp.float32),
         grid=grid,
@@ -484,7 +517,7 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
     n_sub = T // TS
     grid = (n1_loc // BX, g.N2 // BY, n_sub)
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, TS, bf16=bf16,
+        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, halo, TS, bf16=bf16,
                             want_value=want_value),
         out_shape=jax.ShapeDtypeStruct((nch, n1_loc, g.N2 * g.N3), jnp.float32),
         grid=grid,
@@ -511,15 +544,20 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
 
     Requires |base - q| <= halo - 1 cells in x and y per particle (check
     with `deposit_violations`); breached particles are dropped.
+
+    `halo` may be an (hx, hy) pair; Mosaic's 8-divisibility only binds the
+    x window here (WX = BX + 2*hx is the particle stack's sublane dim), so
+    hx is rounded up while hy stays at the tight measured contract.
     """
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
-    assert halo > 0, "pallas deposit needs a resolved halo (cells) > 0"
-    # Mosaic requires the second-to-last block dim (WY) to divide by 8:
-    # with BY a multiple of 8, round the halo up to a multiple of 4
-    halo = -(-halo // 4) * 4
-    WX, WY = BX + 2 * halo, BY + 2 * halo
-    part = _phase_a(pos, g, halo, weights)  # (6 or 7, N1+2H, N2+2H, N3)
+    hx, hy = _halo_pair(halo)
+    assert hx > 0 and hy > 0, "pallas deposit needs a resolved halo > 0"
+    # Mosaic requires the second-to-last block dim (the particle stack's
+    # WX) to divide by 8; WY only enters via the lane dim WY*N3
+    hx = _round_halo(hx, BX)
+    WX, WY = BX + 2 * hx, BY + 2 * hy
+    part = _phase_a(pos, g, hx, hy, weights)  # (6|7, N1+2Hx, N2+2Hy, N3)
     nc = part.shape[0]
     # flatten (y, z) so the kernel's per-row tiles are 1-D without any
     # Mosaic-unsupported sublane+lane merge inside the kernel

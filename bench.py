@@ -82,7 +82,11 @@ def build_step(n_grid: int):
             off = jnp.mod(off + L / 2, L) - L / 2
             return jnp.max(jnp.abs(off[:2]))
 
-        halo = int(float(_max_off())) + 3  # bound + TSC reach + margin
+        # contract: |base - q| <= halo - 1 covers the bound incl. the TSC
+        # reach (the window extends halo beyond the block); +2 = 1 cell of
+        # sampling slack.  Kernels round only their Mosaic-bound axis up
+        # (deposit WX, gather WY), so the other axis keeps this tight halo.
+        halo = int(float(_max_off())) + 2
     halo = halo or 8
     fc = dataclasses.replace(fc0, pallas_deposit=PALLAS, pallas_halo=halo,
                              pallas_block=BLOCK, pallas_bf16_grad=BF16_GRAD,

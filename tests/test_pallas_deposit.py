@@ -231,8 +231,10 @@ def test_gather_window_mask_brute_force():
     out = np.asarray(pd.tsc_gather_grads_pallas(field, pos, G, halo=halo_req,
                                                 block=(BX, BY), interpret=True))
 
-    halo = -(-halo_req // 4) * 4  # the kernel rounds the halo up to 4
-    WX, WY = BX + 2 * halo, BY + 2 * halo
+    # per-axis rounding: the gather only rounds hy (WY is the Mosaic-bound
+    # sublane dim); hx keeps the requested contract
+    hx, hy = halo_req, pd._round_halo(halo_req, BY)
+    WX, WY = BX + 2 * hx, BY + 2 * hy
     f = np.asarray(field)
     u = np.asarray(pos) / np.asarray(G.cell).reshape(3, 1, 1, 1)
     base = np.floor(u)
@@ -247,7 +249,7 @@ def test_gather_window_mask_brute_force():
         bx = i + ((base[0, i, j, k] - i + N1 / 2) % N1 - N1 / 2)
         by = j + ((base[1, i, j, k] - j + N2 / 2) % N2 - N2 / 2)
         bz = base[2, i, j, k] % N3
-        wx0, wy0 = (i // BX) * BX - halo, (j // BY) * BY - halo
+        wx0, wy0 = (i // BX) * BX - hx, (j // BY) * BY - hy
         tx, ty = int(bx) - wx0, int(by) - wy0
         fx, fy, fz = frac[:, i, j, k]
         acc = 0.0
