@@ -168,6 +168,11 @@ class RunConfig:
             pallas_halo=_get(p, "pallas_halo", int, 8),
             pallas_block=(_get(p, "pallas_block_x", int, 8),
                           _get(p, "pallas_block_y", int, 8)),
+            # deposit block: 0 -> auto ((16,16) when the grid divides it)
+            pallas_block_dep=(
+                (_get(p, "pallas_block_dep_x", int, 0),
+                 _get(p, "pallas_block_dep_y", int, 0))
+                if _get(p, "pallas_block_dep_x", int, 0) else None),
             pallas_bf16_grad=_get(p, "pallas_bf16_grad", bool, False),
             pallas_bf16_dep=_get(p, "pallas_bf16_dep", bool, False),
         )

@@ -217,13 +217,23 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
 
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
                           interpret: bool | None = None, pallas_bwd: bool = True,
-                          bf16_fwd: bool = False, bf16_bwd: bool = False):
+                          bf16_fwd: bool = False, bf16_bwd: bool = False,
+                          block_dep: tuple | None = None):
     """Unit-mass TSC deposit: Pallas block-kernel forward with an exact
     custom VJP — the backward is the windowed Pallas gather kernel
     (pallas_bwd=True) or the XLA weight-grad gather.
 
     interpret=None auto-selects: Mosaic on TPU, interpret mode elsewhere
     (so CPU tests of the pallas_deposit config run unchanged).
+
+    The two kernels want different output blocks (hardware sweep,
+    artifacts/sweep_r3_kernels.json at 128^3, halo 6): the deposit's VPU
+    one-hot construction scales with the window redundancy WX*WY/(BX*BY),
+    which larger blocks amortize — (16,16) runs 4.84 ms vs 6.49 at (8,8) —
+    while the gather's MXU MACs per particle scale with the window area
+    itself, so it keeps the smallest legal block ((8,8): 6.8 ms; (16,16):
+    11.1).  `block` feeds the gather; `block_dep` the deposit, defaulting
+    to (16,16) when the grid divides it and `block` otherwise.
 
     Requires the halo contract |base - q| <= halo - 1 in x/y (see
     forward/pallas_deposit.py); monitor pallas_deposit.deposit_violations.
@@ -232,10 +242,12 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_dep is None:
+        block_dep = (16, 16) if g.N1 % 16 == 0 and g.N2 % 16 == 0 else block
 
     @jax.custom_vjp
     def dep(pos):
-        return _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block,
+        return _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block_dep,
                                       interpret=interpret, bf16=bf16_fwd)
 
     def dep_fwd(pos):

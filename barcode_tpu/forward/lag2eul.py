@@ -49,7 +49,11 @@ class ForwardConfig:
                                # 'findif' (GFINDIFF 4th-order stencil)
     pallas_deposit: bool = False  # Pallas block-kernel TSC deposit (tsc/sph_ft)
     pallas_halo: int = 8      # halo contract: max |displacement| in cells + 1
-    pallas_block: tuple = (8, 8)   # kernel output block (BX, BY)
+    pallas_block: tuple = (8, 8)   # gather-kernel output block (BX, BY)
+    pallas_block_dep: tuple | None = None  # deposit-kernel block; None ->
+                               # (16,16) when the grid divides it (hardware
+                               # optimum, artifacts/sweep_r3_kernels.json),
+                               # else pallas_block
     pallas_bf16_grad: bool = False  # bf16 MXU dots in the backward gather:
                                # force-path only — leapfrog stays reversible
                                # and MH accepts on exact f32 psi, so the
@@ -99,7 +103,9 @@ def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     if fc.pallas_deposit and mk in ("tsc", "sph_ft"):
         dep = assign.make_tsc_deposit_fast(
             g, halo=fc.pallas_halo, block=tuple(fc.pallas_block),
-            bf16_fwd=fc.pallas_bf16_dep, bf16_bwd=fc.pallas_bf16_grad)
+            bf16_fwd=fc.pallas_bf16_dep, bf16_bwd=fc.pallas_bf16_grad,
+            block_dep=(tuple(fc.pallas_block_dep)
+                       if fc.pallas_block_dep else None))
         rho = dep(pos)
         if mk == "sph_ft":
             from barcode_tpu.grid import fourier as _f

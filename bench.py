@@ -37,6 +37,9 @@ HALO = int(os.environ.get("BENCH_HALO", 0))
 BLOCK = tuple(int(b) for b in os.environ.get("BENCH_BLOCK", "8,8").split(","))
 if len(BLOCK) == 1:
     BLOCK = (BLOCK[0], 8)
+# deposit block: "auto" -> (16,16) when the grid divides it (r3 sweep optimum)
+_BD = os.environ.get("BENCH_BLOCK_DEP", "auto")
+BLOCK_DEP = None if _BD == "auto" else tuple(int(b) for b in _BD.split(","))
 # bf16 MXU dots in the Pallas kernels (force path / deposit path)
 BF16_GRAD = os.environ.get("BENCH_BF16_GRAD", "0") == "1"
 BF16_DEP = os.environ.get("BENCH_BF16_DEP", "0") == "1"
@@ -89,8 +92,8 @@ def build_step(n_grid: int):
         halo = int(float(_max_off())) + 2
     halo = halo or 8
     fc = dataclasses.replace(fc0, pallas_deposit=PALLAS, pallas_halo=halo,
-                             pallas_block=BLOCK, pallas_bf16_grad=BF16_GRAD,
-                             pallas_bf16_dep=BF16_DEP)
+                             pallas_block=BLOCK, pallas_block_dep=BLOCK_DEP,
+                             pallas_bf16_grad=BF16_GRAD, pallas_bf16_dep=BF16_DEP)
     mc = ModelConfig(likelihood=1, forward=fc)
     hc = HMCConfig(eps_fac=1e-4, eps_fac_update_type=0, mass_type=1,
                    N_eps_fac=N_EPS, N_a_eps_update=32)
