@@ -52,7 +52,7 @@ def main():
     gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85,
                       hubble=100.0)
     fc = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0,
-                       pallas_deposit=True, pallas_halo=7)
+                       pallas_deposit=True, pallas_halo=6)  # bench auto-halo
     mc = ModelConfig(likelihood=1, forward=fc)
 
     @jax.jit
@@ -87,7 +87,7 @@ def main():
     r["lag2eul_fwd_plus_vjp_ms"] = timeit(fwd_vjp, truth, ct)
 
     dep = jax.jit(lambda p: pd.tsc_deposit_pallas(p, g, halo=fc.pallas_halo,
-                                                  block=tuple(fc.pallas_block)))
+                                                  block=(16, 16)))
     r["pallas_deposit_ms"] = timeit(dep, pos)
 
     gat = jax.jit(lambda f, p: pd.tsc_gather_grads_pallas(
@@ -96,7 +96,7 @@ def main():
 
     # weighted-channel variant (PLAN: time the 7th particle channel on HW)
     wdep = jax.jit(lambda p, w: pd.tsc_deposit_pallas(
-        p, g, halo=fc.pallas_halo, block=tuple(fc.pallas_block), weights=w))
+        p, g, halo=fc.pallas_halo, block=(16, 16), weights=w))
     r["pallas_deposit_weighted_ms"] = timeit(wdep, pos, 1.0 + truth)
 
     prior = jax.jit(lambda s: fourier.convolve_inv_corr(s, g, P))

@@ -221,6 +221,92 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
     return body
 
 
+def _make_gather_kernel_zfirst(BX, BY, N3, WX, WY, halo_x, halo_y, TS,
+                               bf16: bool = False, want_value: bool = True):
+    """z-first gather kernel: contract the z one-hots on the MXU FIRST —
+        F[xy, t] = sum_z win[xy, z] B[z, t]          (2 dots: B_val, B_dz)
+    — then fold the small per-axis x/y one-hots in on the VPU:
+        out[t] = sum_x X[x, t] * sum_y Y[y, t] * F[(x, y), t].
+
+    vs the xy-first kernel (_make_gather_kernel): 2 MXU dots instead of 3
+    (-33% MACs — the dots dominate: per particle each dot costs WX*WY*N3
+    MACs), contraction dim N3 = a full MXU tile instead of WXY, and the xy
+    stage becomes cheap VPU broadcast-multiply reductions (~3*WXY*TS flops).
+    Hardware A/B at 128^3/halo 6: 6.81 -> 4.77 ms (sweep_r3_kernels.json).
+    """
+    WXY = WX * WY
+    dot_dt = jnp.bfloat16 if bf16 else jnp.float32
+    cg = 1 if want_value else 0
+
+    def body(p_ref, f_ref, out_ref):
+        I = pl.program_id(0)
+        J = pl.program_id(1)
+        wx0 = I * BX - halo_x
+        wy0 = J * BY - halo_y
+
+        win = f_ref[...].reshape(WXY, N3)
+        win_d = win.astype(dot_dt)
+        x_ids = jax.lax.broadcasted_iota(jnp.int32, (WX, TS), 0)
+        y_ids = jax.lax.broadcasted_iota(jnp.int32, (WY, TS), 0)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
+
+        def row_body(r, _):
+            bx = p_ref[0, r, :].reshape(TS)
+            by = p_ref[1, r, :].reshape(TS)
+            bz = p_ref[2, r, :].reshape(TS)
+            fx = p_ref[3, r, :].reshape(TS)
+            fy = p_ref[4, r, :].reshape(TS)
+            fz = p_ref[5, r, :].reshape(TS)
+            tx = bx.astype(jnp.int32) - wx0
+            ty = by.astype(jnp.int32) - wy0
+            tzi = bz.astype(jnp.int32)
+
+            X_val = jnp.zeros((WX, TS), jnp.float32)
+            X_dx = jnp.zeros((WX, TS), jnp.float32)
+            Y_val = jnp.zeros((WY, TS), jnp.float32)
+            Y_dy = jnp.zeros((WY, TS), jnp.float32)
+            for o in (-1, 0, 1):
+                hx = x_ids == (tx + o)[None, :]
+                X_val = X_val + jnp.where(hx, _tsc_w(fx, o)[None, :], 0.0)
+                X_dx = X_dx + jnp.where(hx, _tsc_dw(fx, o)[None, :], 0.0)
+                hy = y_ids == (ty + o)[None, :]
+                Y_val = Y_val + jnp.where(hy, _tsc_w(fy, o)[None, :], 0.0)
+                Y_dy = Y_dy + jnp.where(hy, _tsc_dw(fy, o)[None, :], 0.0)
+
+            B_val = jnp.zeros((N3, TS), jnp.float32)
+            B_dz = jnp.zeros((N3, TS), jnp.float32)
+            for oz in (-1, 0, 1):
+                t = tzi + oz
+                t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
+                hit = z_ids == t[None, :]
+                B_val = B_val + jnp.where(hit, _tsc_w(fz, oz)[None, :], 0.0)
+                B_dz = B_dz + jnp.where(hit, _tsc_dw(fz, oz)[None, :], 0.0)
+
+            # F[xy, t] = sum_z win[xy, z] B[z, t] — contraction dim N3
+            dot = lambda B: jax.lax.dot_general(
+                win_d, B.astype(dot_dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # (WXY, TS) -> (WX, WY, TS): leading-dim split, Mosaic-legal
+            F_val = dot(B_val).reshape(WX, WY, TS)
+            F_dz = dot(B_dz).reshape(WX, WY, TS)
+
+            G_val = (F_val * Y_val[None]).sum(1)   # (WX, TS)
+            G_dy = (F_val * Y_dy[None]).sum(1)
+            G_dz = (F_dz * Y_val[None]).sum(1)
+
+            if want_value:
+                out_ref[0, r, :] = (G_val * X_val).sum(0)
+            out_ref[cg + 0, r, :] = (G_val * X_dx).sum(0)
+            out_ref[cg + 1, r, :] = (G_dy * X_val).sum(0)
+            out_ref[cg + 2, r, :] = (G_dz * X_val).sum(0)
+            return 0
+
+        jax.lax.fori_loop(0, BX, row_body, 0)
+
+    return body
+
+
 def _make_gather_kernel(BX, BY, N3, WX, WY, halo_x, halo_y, TS,
                         bf16: bool = False, want_value: bool = True):
     """Program owns a (BX, BY) block of *particles*; reads the (WX, WY, N3)
@@ -331,7 +417,8 @@ def _tsc_dw(dx, s):
 
 def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
                             block: tuple = (8, 8), interpret: bool = False,
-                            bf16: bool = False, want_value: bool = True):
+                            bf16: bool = False, want_value: bool = True,
+                            zfirst: bool = True):
     """(value, dV/dx, dV/dy, dV/dz) gathers at particle positions via the
     windowed block kernel; shape (4,) + grid.  With want_value=False only
     the 3 position gradients are computed, shape (3,) + grid (the deposit
@@ -369,9 +456,10 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     assert T % TS == 0, (T, TS)
     n_sub = T // TS
     grid = (g.N1 // BX, g.N2 // BY, n_sub)
+    mk = _make_gather_kernel_zfirst if zfirst else _make_gather_kernel
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, hx, hy, TS, bf16=bf16,
-                            want_value=want_value),
+        mk(BX, BY, g.N3, WX, WY, hx, hy, TS, bf16=bf16,
+           want_value=want_value),
         out_shape=jax.ShapeDtypeStruct((nch, g.N1, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[
@@ -494,7 +582,7 @@ def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
 def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
                                  devf, halo: int, block: tuple = (8, 8),
                                  interpret: bool = False, bf16: bool = False,
-                                 want_value: bool = True):
+                                 want_value: bool = True, zfirst: bool = True):
     """(value, dV/dx, dV/dy, dV/dz) gathers of an extended-slab field at
     slab-local particle positions — the exact adjoint of
     tsc_deposit_pallas_slab w.r.t. the extended buffer.  Shape
@@ -516,9 +604,10 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
     assert T % TS == 0, (T, TS)  # see tsc_gather_grads_pallas
     n_sub = T // TS
     grid = (n1_loc // BX, g.N2 // BY, n_sub)
+    mk = _make_gather_kernel_zfirst if zfirst else _make_gather_kernel
     out = pl.pallas_call(
-        _make_gather_kernel(BX, BY, g.N3, WX, WY, halo, halo, TS, bf16=bf16,
-                            want_value=want_value),
+        mk(BX, BY, g.N3, WX, WY, halo, halo, TS, bf16=bf16,
+           want_value=want_value),
         out_shape=jax.ShapeDtypeStruct((nch, n1_loc, g.N2 * g.N3), jnp.float32),
         grid=grid,
         in_specs=[

@@ -290,5 +290,7 @@ def test_gather_grads_want_value_false():
     grads = pd.tsc_gather_grads_pallas(field, pos, G, halo=4, interpret=True,
                                        want_value=False)
     assert grads.shape[0] == 3
+    # atol: XLA may reassociate the z-first kernel's VPU reductions
+    # differently when the value channel is present vs dropped
     np.testing.assert_allclose(np.asarray(grads), np.asarray(full[1:]),
-                               rtol=1e-6)
+                               rtol=1e-5, atol=1e-6)
