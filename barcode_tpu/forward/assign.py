@@ -215,6 +215,24 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
     return jnp.stack(_stencil_gather_multi(cot, base, weight_sets, _TSC_OFFSETS, g))
 
 
+def auto_block_dep(g: GridSpec, halo, block: tuple) -> tuple:
+    """Deposit-kernel block auto-selection: (16,16) is the hardware optimum
+    at 128^3 (sweep_r3_kernels.json) but its particle window + one-hot
+    working set must stay under ~10 MB of scoped VMEM — at 256^3/halo 12 it
+    allocates 17.4 MB against the 16 MB limit (compile-time OOM), so large
+    grids fall back to `block` (the (8,8) gather optimum, which compiles and
+    runs at 256^3)."""
+    if g.N1 % 16 or g.N2 % 16:
+        return block
+    from barcode_tpu.forward import pallas_deposit as _p
+    hx, hy = _p._halo_pair(halo)
+    WX = 16 + 2 * _p._round_halo(hx, 16)
+    WY = 16 + 2 * hy
+    win = 6 * WX * WY * g.N3 * 4
+    ts = _p._sub_tile(WY * g.N3, g.N3 + 256)
+    return (16, 16) if win + ts * (g.N3 + 256) * 4 <= 10 << 20 else block
+
+
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
                           interpret: bool | None = None, pallas_bwd: bool = True,
                           bf16_fwd: bool = False, bf16_bwd: bool = False,
@@ -243,7 +261,7 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_dep is None:
-        block_dep = (16, 16) if g.N1 % 16 == 0 and g.N2 % 16 == 0 else block
+        block_dep = auto_block_dep(g, halo, block)
 
     @jax.custom_vjp
     def dep(pos):

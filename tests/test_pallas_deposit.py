@@ -152,6 +152,18 @@ def test_pallas_deposit_weighted_is_gather_adjoint():
     np.testing.assert_allclose(lhs, rhs, rtol=2e-4)
 
 
+def test_auto_block_dep_vmem_gate():
+    """(16,16) deposit block at 128^3/halo 6 fits scoped VMEM; at
+    256^3/halo 12 it OOMs the 16 MB limit (measured: 17.4 MB) and must
+    fall back to the gather block."""
+    g128 = GridSpec.cube(128, 200.0)
+    g256 = GridSpec.cube(256, 200.0)
+    assert assign.auto_block_dep(g128, 6, (8, 8)) == (16, 16)
+    assert assign.auto_block_dep(g256, 12, (8, 8)) == (8, 8)
+    # grids the block doesn't divide also fall back
+    assert assign.auto_block_dep(GridSpec.cube(24, 48.0), 4, (8, 8)) == (8, 8)
+
+
 @pytest.mark.parametrize("block", [(16, 8), (16, 16)])
 def test_pallas_deposit_alt_blocks(block):
     """Non-default output blocks (MXU-utilization tuning) remain exact."""
