@@ -165,7 +165,10 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
     div_2lpt = -D1 * delta1_t + D2 * _apply_transf(m2v, t_2lpt, g)
     div_sc = spherical_collapse_div_psi(delta1_t, g, D1)
     K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
-    div_C = K * fourier.rfft3(div_2lpt) + (1.0 - K) * fourier.rfft3(div_sc)
+    # one batched rfft over both divergences (XLA pipelines a batched
+    # transform better than two sequential ones; see _psi_from_div_C)
+    div2lpt_C, divsc_C = fourier.rfft3(jnp.stack([div_2lpt, div_sc]))
+    div_C = K * div2lpt_C + (1.0 - K) * divsc_C
     psi = _psi_from_div_C(div_C, g)
     if apply_cellbound:
         psi = cellbound(psi)

@@ -144,11 +144,18 @@ def measure_steps_per_s(n_grid: int, n_attempts: int = N_ATTEMPTS):
 
 def cpu_baseline(n_grid: int) -> float:
     """Same algorithm, single CPU thread (cached)."""
+    cache = {}
     if CPU_BASELINE_FILE.exists():
         try:
             data = json.loads(CPU_BASELINE_FILE.read_text())
-            if data.get("n_grid") == n_grid:
-                return float(data["steps_per_s"])
+            # legacy single-entry {"n_grid": N, "steps_per_s": s} or the
+            # multi-entry {"<N>": s, ...} form — accept both
+            if "n_grid" in data:
+                cache = {str(data["n_grid"]): float(data["steps_per_s"])}
+            else:
+                cache = {k: float(v) for k, v in data.items()}
+            if str(n_grid) in cache:
+                return cache[str(n_grid)]
         except Exception:
             pass
     code = f"""
@@ -168,7 +175,8 @@ print(json.dumps({{"steps_per_s": sps}}))
                              text=True, timeout=3000)
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         sps = float(json.loads(line)["steps_per_s"])
-        CPU_BASELINE_FILE.write_text(json.dumps({"n_grid": n_grid, "steps_per_s": sps}))
+        cache[str(n_grid)] = sps
+        CPU_BASELINE_FILE.write_text(json.dumps(cache))
         return sps
     except Exception as e:
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
