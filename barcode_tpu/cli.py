@@ -20,8 +20,9 @@ def main(argv=None):
     p.add_argument("input_par", nargs="?", default="input.par",
                    help="parameter file (reference input.par format)")
     p.add_argument("restart_iteration", nargs="?", type=int, default=None,
-                   help="restart marker (reference main.cc argv[1] semantics); "
-                        "any value implies --resume from the checkpoint")
+                   help="restart marker (reference main.cc argv[1] semantics): "
+                        "resume from checkpoint.npz when present, else from "
+                        "the dumped deltaLAG_<k> + performance-log replay")
     p.add_argument("--resume", action="store_true",
                    help="restore sampler state from checkpoint.npz")
     p.add_argument("--chains", type=int, default=None)
@@ -49,7 +50,21 @@ def main(argv=None):
     p.add_argument("--halo", type=int, default=None,
                    help="deposit halo cells for --sharded (default: "
                         "displacement-bound heuristic)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: jax.distributed coordinator address "
+                        "(host:port); on TPU pods omit all three flags — the "
+                        "environment autodetects")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() with env "
+                        "autodetection before building the device mesh")
     args = p.parse_args(argv)
+
+    if args.multihost or args.coordinator is not None:
+        from barcode_tpu.parallel.distributed import initialize_multihost
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
 
     if Path(args.input_par).exists():
         conf = RunConfig.from_input_par(args.input_par)
@@ -73,7 +88,14 @@ def main(argv=None):
         return 0
 
     runner = Runner(conf, out_dir=args.out).setup(n_chains=args.chains)
-    if args.resume or args.restart_iteration is not None:
+    if args.restart_iteration is not None and \
+            not (runner.dir / "checkpoint.npz").exists():
+        # reference restart semantics (main.cc:121-131): no checkpoint, so
+        # resume from the dumped deltaLAG_<k> + win/nobs/sigma files alone
+        print(f"no checkpoint.npz — resuming from deltaLAG_{args.restart_iteration}"
+              " + performance-log replay")
+        runner.restore_from_dumps(args.restart_iteration)
+    elif args.resume or args.restart_iteration is not None:
         runner.restore()
     import contextlib
     prof = contextlib.nullcontext()

@@ -151,6 +151,15 @@ class RunConfig:
         if _get(p, "particle_kernel", int, 0) != 0:
             raise ValueError("particle_kernel != 0 (SPH cubic spline) is not "
                              "implemented — matching the reference")
+        # deposit block: both keys, or dep_x alone (square block); a lone
+        # dep_y would otherwise silently produce block_dep=(x, 0) and a
+        # ZeroDivisionError at trace time (ADVICE r3)
+        dep_x = _get(p, "pallas_block_dep_x", int, 0)
+        dep_y = _get(p, "pallas_block_dep_y", int, 0)
+        if dep_y and not dep_x:
+            raise ValueError("pallas_block_dep_y set without "
+                             "pallas_block_dep_x; set both (or only _x for "
+                             "a square block)")
         fwd = ForwardConfig(
             sfmodel=_get(p, "sfmodel", int, 1),
             masskernel=_get(p, "masskernel", int, 3),
@@ -169,10 +178,7 @@ class RunConfig:
             pallas_block=(_get(p, "pallas_block_x", int, 8),
                           _get(p, "pallas_block_y", int, 8)),
             # deposit block: 0 -> auto ((16,16) when the grid divides it)
-            pallas_block_dep=(
-                (_get(p, "pallas_block_dep_x", int, 0),
-                 _get(p, "pallas_block_dep_y", int, 0))
-                if _get(p, "pallas_block_dep_x", int, 0) else None),
+            pallas_block_dep=(dep_x, dep_y or dep_x) if dep_x else None,
             pallas_bf16_grad=_get(p, "pallas_bf16_grad", bool, False),
             pallas_bf16_dep=_get(p, "pallas_bf16_dep", bool, False),
         )

@@ -215,22 +215,29 @@ def tsc_weight_grad_gather(cot, pos, g: GridSpec):
     return jnp.stack(_stencil_gather_multi(cot, base, weight_sets, _TSC_OFFSETS, g))
 
 
+# deposit VMEM gate: the (16,16) block's working set must leave headroom
+# under the 16 MB scoped-VMEM limit (Mosaic needs slack for spills/copies;
+# 17.4 MB OOMs at compile time at 256^3/halo 12)
+_DEP_VMEM_BUDGET = 10 << 20
+
+
 def auto_block_dep(g: GridSpec, halo, block: tuple) -> tuple:
     """Deposit-kernel block auto-selection: (16,16) is the hardware optimum
-    at 128^3 (sweep_r3_kernels.json) but its particle window + one-hot
-    working set must stay under ~10 MB of scoped VMEM — at 256^3/halo 12 it
-    allocates 17.4 MB against the 16 MB limit (compile-time OOM), so large
+    at 128^3 (sweep_r3_kernels.json) but its working set
+    (pallas_deposit.deposit_working_set_bytes — particle window + one-hot
+    sub-tile + accumulator) must stay under ~10 MB of scoped VMEM, so large
     grids fall back to `block` (the (8,8) gather optimum, which compiles and
-    runs at 256^3)."""
+    runs at 256^3) unless the streamed-window kernel variant fits (it frees
+    the window term by streaming x-row chunks; pallas_deposit._stream_rows)."""
     if g.N1 % 16 or g.N2 % 16:
         return block
     from barcode_tpu.forward import pallas_deposit as _p
-    hx, hy = _p._halo_pair(halo)
-    WX = 16 + 2 * _p._round_halo(hx, 16)
-    WY = 16 + 2 * hy
-    win = 6 * WX * WY * g.N3 * 4
-    ts = _p._sub_tile(WY * g.N3, g.N3 + 256)
-    return (16, 16) if win + ts * (g.N3 + 256) * 4 <= 10 << 20 else block
+    if _p.deposit_working_set_bytes(g, halo, (16, 16)) <= _DEP_VMEM_BUDGET:
+        return (16, 16)
+    if _p.deposit_working_set_bytes(g, halo, (16, 16),
+                                    streamed=True) <= _DEP_VMEM_BUDGET:
+        return (16, 16)
+    return block
 
 
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),

@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas.core import Element
 
 from barcode_tpu.grid.spec import GridSpec
@@ -130,6 +131,105 @@ def _sub_tile(T: int, weight: int, budget_bytes: int = 6 << 20) -> int:
     return max(t, 1)
 
 
+# scoped-VMEM budget for the deposit kernel's working set: the hardware
+# limit is 16 MB; 10 MB leaves headroom for Mosaic spills/copies (17.4 MB
+# OOMed at compile time at 256^3/halo 12, the empirical gate since round 3)
+DEP_VMEM_BUDGET = 10 << 20
+# streamed-window mode: particle-window rows per grid step (sublane-aligned;
+# WX is always a multiple of 8 by _round_halo, so RS=8 divides it)
+STREAM_RS = 8
+
+
+def deposit_working_set_bytes(g: GridSpec, halo, block_dep: tuple,
+                              weighted: bool = False,
+                              streamed: bool = False) -> int:
+    """Scoped-VMEM working set of tsc_deposit_pallas for this config: the
+    Element-indexed particle window (all channels resident; with
+    streamed=True only 2 x STREAM_RS rows — the x-row chunk + its pipeline
+    double buffer), one sub-tile's one-hot matrices (AT (BX*BY, TS) +
+    BT (N3, TS)) and the f32 accumulator.  Derived from the same
+    _round_halo/_sub_tile arithmetic _make_kernel and tsc_deposit_pallas
+    use, so the auto_block_dep gate cannot drift from the kernel (ADVICE
+    r3)."""
+    BX, BY = block_dep
+    hx, hy = _halo_pair(halo)
+    hx = _round_halo(hx, BX)          # as tsc_deposit_pallas
+    WX, WY = BX + 2 * hx, BY + 2 * hy
+    nc = 7 if weighted else 6
+    nxy = BX * BY
+    rows = min(2 * STREAM_RS, WX) if streamed else WX
+    window = nc * rows * WY * g.N3 * 4
+    TS = _sub_tile(WY * g.N3, g.N3 + nxy)
+    onehots = TS * (g.N3 + nxy) * 4
+    acc = nxy * g.N3 * 4
+    return window + onehots + acc
+
+
+def _deposit_rows(p_ref, n_rows, x0, y0, BX, BY, N3, TS, n_sub, weighted,
+                  dot_dt, acc0):
+    """Accumulate n_rows window x-rows of particles from `p_ref` (a VMEM ref
+    or view shaped (nc, n_rows, WY*N3)) into the (BX*BY, N3) accumulator.
+
+    One-hots are built TRANSPOSED (targets on sublanes, particles on lanes):
+    a (T,) lane vector broadcasts to (n, T) for free, whereas (T,) -> (T, 1)
+    is a lane->sublane relayout Mosaic refuses to lower.  The xy one-hot is
+    SEPARABLE: per-axis X (BX, TS) and Y (BY, TS) one-hots with 3 masked
+    passes each, composed as the outer product X[x,t]*Y[y,t] — one broadcast
+    multiply instead of 9 full-size masked passes (the VPU construction work
+    was the kernel's dominant cost, not the MXU dot: profile_step.json).
+    Out-of-block targets fall off the per-axis iota range naturally, so no
+    bounds sentinel is needed (flat-index aliasing is impossible)."""
+    nxy = BX * BY
+    x_ids = jax.lax.broadcasted_iota(jnp.int32, (BX, TS), 0)
+    y_ids = jax.lax.broadcasted_iota(jnp.int32, (BY, TS), 0)
+    z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
+
+    def tile_acc(r, s, acc):
+        sl = slice(s * TS, (s + 1) * TS)
+        bx = p_ref[0, r, sl].reshape(TS)
+        by = p_ref[1, r, sl].reshape(TS)
+        bz = p_ref[2, r, sl].reshape(TS)
+        fx = p_ref[3, r, sl].reshape(TS)
+        fy = p_ref[4, r, sl].reshape(TS)
+        fz = p_ref[5, r, sl].reshape(TS)
+        tx = bx.astype(jnp.int32) - x0
+        ty = by.astype(jnp.int32) - y0
+        tzi = bz.astype(jnp.int32)
+
+        X = jnp.zeros((BX, TS), jnp.float32)
+        Y = jnp.zeros((BY, TS), jnp.float32)
+        for o in (-1, 0, 1):
+            X = X + jnp.where(x_ids == (tx + o)[None, :],
+                              _tsc_w(fx, o)[None, :], 0.0)
+            Y = Y + jnp.where(y_ids == (ty + o)[None, :],
+                              _tsc_w(fy, o)[None, :], 0.0)
+        AT = (X.reshape(BX, 1, TS) * Y.reshape(1, BY, TS)).reshape(nxy, TS)
+
+        wm = p_ref[6, r, sl].reshape(TS) if weighted else 1.0
+        BT = jnp.zeros((N3, TS), jnp.float32)
+        for oz in (-1, 0, 1):
+            # per-particle mass folds into the z one-hot (one multiply)
+            w = wm * _tsc_w(fz, oz)
+            t = tzi + oz
+            t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
+            BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
+
+        # acc[xy, z] += sum_t AT[xy, t] BT[z, t]  (the Q K^T MXU pattern)
+        # bf16 operands run the MXU at full rate (~4x fp32); rounding is
+        # ~2^-9 relative on the TSC weights — opt-in via `bf16`
+        return acc + jax.lax.dot_general(
+            AT.astype(dot_dt), BT.astype(dot_dt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def row_body(r, acc):
+        for s in range(n_sub):
+            acc = tile_acc(r, s, acc)
+        return acc
+
+    return jax.lax.fori_loop(0, n_rows, row_body, acc0)
+
+
 def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
                  bf16: bool = False):
     """Sub-tiling stays an in-kernel loop here (unlike the gather, whose
@@ -153,69 +253,60 @@ def _make_kernel(BX, BY, N3, WX, WY, weighted: bool = False,
         # reshape like (WY, N3) -> (WY*N3,) inside the kernel
         I = pl.program_id(0)
         J = pl.program_id(1)
+        acc = _deposit_rows(p_ref, WX, I * BX, J * BY, BX, BY, N3, TS, n_sub,
+                            weighted, dot_dt,
+                            jnp.zeros((nxy, N3), jnp.float32))
+        out_ref[...] = acc.reshape(BX, BY, N3)
+
+    return body
+
+
+def _make_kernel_dma(BX, BY, N3, WX, WY, RS, weighted: bool = False,
+                     bf16: bool = False):
+    """Streamed-window deposit body: the particle stack stays in HBM
+    (memory_space=ANY) and the kernel DMAs x-row chunks of RS rows into a
+    double-buffered VMEM scratch, accumulating per chunk.  This bounds the
+    VMEM window term nc*WX*WY*N3 -> 2*nc*RS*WY*N3 bytes, which is what lets
+    the (16,16) block compile at 256^3 (VERDICT r3 #1 — grid-dimension
+    streaming variants all crash Mosaic on the two-term Element offset /
+    revisited-output patterns; in-kernel DMA sidesteps both).
+
+    The chunk loop is a static Python unroll (n_chunks = WX/RS is small) so
+    buffer slots and chunk ids stay compile-time constants; only the DMA
+    source offsets are dynamic, which DMAs support natively."""
+    nxy = BX * BY
+    T = WY * N3
+    TS = _sub_tile(T, N3 + nxy)
+    assert T % TS == 0, (T, TS)
+    n_sub = T // TS
+    assert WX % RS == 0, (WX, RS)
+    n_chunks = WX // RS
+    dot_dt = jnp.bfloat16 if bf16 else jnp.float32
+    nc = 7 if weighted else 6
+
+    def body(p_hbm, out_ref, scratch, sem):
+        # p_hbm: full (nc, N1+2Hx, (N2+2Hy)*N3) stack in HBM;
+        # scratch: (2, nc, RS, WY*N3) VMEM; sem: 2 DMA semaphores
+        I = pl.program_id(0)
+        J = pl.program_id(1)
         x0 = I * BX
         y0 = J * BY
 
-        # one-hots are built TRANSPOSED (targets on sublanes, particles on
-        # lanes): a (T,) lane vector broadcasts to (n, T) for free, whereas
-        # (T,) -> (T, 1) is a lane->sublane relayout Mosaic refuses to lower.
-        # The xy one-hot is SEPARABLE: build per-axis one-hots X (BX, TS) and
-        # Y (BY, TS) with 3 masked passes each, then form the flat (nxy, TS)
-        # one-hot as the outer product X[x,t]*Y[y,t] — one broadcast multiply
-        # instead of 9 full-size masked passes (the VPU construction work was
-        # the kernel's dominant cost, not the MXU dot: profile_step.json).
-        # Out-of-block targets fall off the per-axis iota range naturally, so
-        # no bounds sentinel is needed (flat-index aliasing is impossible).
-        x_ids = jax.lax.broadcasted_iota(jnp.int32, (BX, TS), 0)
-        y_ids = jax.lax.broadcasted_iota(jnp.int32, (BY, TS), 0)
-        z_ids = jax.lax.broadcasted_iota(jnp.int32, (N3, TS), 0)
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                p_hbm.at[:, pl.ds(I * BX + c * RS, RS),
+                         pl.ds(J * BY * N3, T)],
+                scratch.at[slot], sem.at[slot])
 
-        def tile_acc(r, s, acc):
-            sl = slice(s * TS, (s + 1) * TS)
-            bx = p_ref[0, r, sl].reshape(TS)
-            by = p_ref[1, r, sl].reshape(TS)
-            bz = p_ref[2, r, sl].reshape(TS)
-            fx = p_ref[3, r, sl].reshape(TS)
-            fy = p_ref[4, r, sl].reshape(TS)
-            fz = p_ref[5, r, sl].reshape(TS)
-            tx = bx.astype(jnp.int32) - x0
-            ty = by.astype(jnp.int32) - y0
-            tzi = bz.astype(jnp.int32)
-
-            X = jnp.zeros((BX, TS), jnp.float32)
-            Y = jnp.zeros((BY, TS), jnp.float32)
-            for o in (-1, 0, 1):
-                X = X + jnp.where(x_ids == (tx + o)[None, :],
-                                  _tsc_w(fx, o)[None, :], 0.0)
-                Y = Y + jnp.where(y_ids == (ty + o)[None, :],
-                                  _tsc_w(fy, o)[None, :], 0.0)
-            AT = (X.reshape(BX, 1, TS) * Y.reshape(1, BY, TS)
-                  ).reshape(nxy, TS)
-
-            wm = p_ref[6, r, sl].reshape(TS) if weighted else 1.0
-            BT = jnp.zeros((N3, TS), jnp.float32)
-            for oz in (-1, 0, 1):
-                # per-particle mass folds into the z one-hot (one multiply)
-                w = wm * _tsc_w(fz, oz)
-                t = tzi + oz
-                t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
-                BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
-
-            # acc[xy, z] += sum_t AT[xy, t] BT[z, t]  (the Q K^T MXU pattern)
-            # bf16 operands run the MXU at full rate (~4x fp32); rounding is
-            # ~2^-9 relative on the TSC weights — opt-in via `bf16`
-            return acc + jax.lax.dot_general(
-                AT.astype(dot_dt), BT.astype(dot_dt),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        def row_body(r, acc):
-            for s in range(n_sub):
-                acc = tile_acc(r, s, acc)
-            return acc
-
-        acc = jax.lax.fori_loop(0, WX, row_body,
-                                jnp.zeros((nxy, N3), jnp.float32))
+        dma(0, 0).start()
+        acc = jnp.zeros((nxy, N3), jnp.float32)
+        for c in range(n_chunks):
+            slot = c % 2
+            if c + 1 < n_chunks:
+                dma(1 - slot, c + 1).start()
+            dma(slot, c).wait()
+            acc = _deposit_rows(scratch.at[slot], RS, x0, y0, BX, BY, N3,
+                                TS, n_sub, weighted, dot_dt, acc)
         out_ref[...] = acc.reshape(BX, BY, N3)
 
     return body
@@ -563,18 +654,39 @@ def tsc_deposit_pallas_slab(pos, g: GridSpec, n1_loc: int, devf, halo: int,
         axis=2)
     part = stack.reshape(nc, stack.shape[1], -1)
 
+    nxy = BX * BY
+    stream = (nc * WX * WY * g.N3 * 4 +
+              _sub_tile(WY * g.N3, g.N3 + nxy) * (g.N3 + nxy) * 4 +
+              nxy * g.N3 * 4) > DEP_VMEM_BUDGET and WX % STREAM_RS == 0
     grid = (n1_ext // BX, g.N2 // BY)
+    out_spec = pl.BlockSpec((BX, BY, g.N3), lambda i, j: (i, j, 0))
+    if stream:
+        kern = _make_kernel_dma(BX, BY, g.N3, WX, WY, STREAM_RS,
+                                weighted=weights is not None, bf16=bf16)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n1_ext, g.N2, g.N3), jnp.float32),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, nc, STREAM_RS, WY * g.N3), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(part)
+    kern = _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None,
+                        bf16=bf16)
     in_spec = pl.BlockSpec(
         (Element(nc), Element(WX), Element(WY * g.N3)),
         index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
     )
     return pl.pallas_call(
-        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None,
-                     bf16=bf16),
+        kern,
         out_shape=jax.ShapeDtypeStruct((n1_ext, g.N2, g.N3), jnp.float32),
         grid=grid,
         in_specs=[in_spec],
-        out_specs=pl.BlockSpec((BX, BY, g.N3), lambda i, j: (i, j, 0)),
+        out_specs=out_spec,
         interpret=interpret,
     )(part)
 
@@ -626,7 +738,7 @@ def tsc_gather_grads_pallas_slab(ext_field, pos, g: GridSpec, n1_loc: int,
 
 def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
                        interpret: bool = False, weights=None,
-                       bf16: bool = False):
+                       bf16: bool = False, stream: bool | None = None):
     """TSC deposit via the Pallas block kernel; optional per-particle
     `weights` (grid shape — particle masses, getDensity_* mass arrays, or
     gather-adjoint cotangents).
@@ -637,6 +749,10 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     `halo` may be an (hx, hy) pair; Mosaic's 8-divisibility only binds the
     x window here (WX = BX + 2*hx is the particle stack's sublane dim), so
     hx is rounded up while hy stays at the tight measured contract.
+
+    stream: None auto-selects the streamed-window kernel when the full
+    window would overflow DEP_VMEM_BUDGET (see _make_kernel's stream_rs);
+    True/False forces it for sweeps.
     """
     BX, BY = block
     assert g.N1 % BX == 0 and g.N2 % BY == 0
@@ -646,6 +762,9 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     # WX) to divide by 8; WY only enters via the lane dim WY*N3
     hx = _round_halo(hx, BX)
     WX, WY = BX + 2 * hx, BY + 2 * hy
+    if stream is None:
+        stream = deposit_working_set_bytes(
+            g, (hx, hy), block, weighted=weights is not None) > DEP_VMEM_BUDGET
     part = _phase_a(pos, g, hx, hy, weights)  # (6|7, N1+2Hx, N2+2Hy, N3)
     nc = part.shape[0]
     # flatten (y, z) so the kernel's per-row tiles are 1-D without any
@@ -653,17 +772,34 @@ def tsc_deposit_pallas(pos, g: GridSpec, halo: int = 4, block: tuple = (8, 8),
     part = part.reshape(nc, part.shape[1], -1)
 
     grid = (g.N1 // BX, g.N2 // BY)
+    out_spec = pl.BlockSpec((BX, BY, g.N3), lambda i, j: (i, j, 0))
+    if stream:
+        kern = _make_kernel_dma(BX, BY, g.N3, WX, WY, STREAM_RS,
+                                weighted=weights is not None, bf16=bf16)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(g.shape, jnp.float32),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, nc, STREAM_RS, WY * g.N3), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(part)
+    kern = _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None,
+                        bf16=bf16)
     # Mosaic: all dims must be Element when any is
     in_spec = pl.BlockSpec(
         (Element(nc), Element(WX), Element(WY * g.N3)),
         index_map=lambda i, j: (0, i * BX, j * BY * g.N3),
     )
     return pl.pallas_call(
-        _make_kernel(BX, BY, g.N3, WX, WY, weighted=weights is not None,
-                     bf16=bf16),
+        kern,
         out_shape=jax.ShapeDtypeStruct(g.shape, jnp.float32),
         grid=grid,
         in_specs=[in_spec],
-        out_specs=pl.BlockSpec((BX, BY, g.N3), lambda i, j: (i, j, 0)),
+        out_specs=out_spec,
         interpret=interpret,
     )(part)

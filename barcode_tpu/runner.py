@@ -254,26 +254,31 @@ class Runner:
             if name == "specLAGtest":
                 self._truth_spec = np.asarray(pw)
 
-    def dump_sample(self, iteration: int, chain: int = 0):
+    def dump_sample(self, iteration: int, chain: int = 0,
+                    fields: bool = True, spectrum: bool = True):
         """dump_deltas + dump_ps_it (IOfunctionsGen.cc:136-171,
-        IOfunctions.cc:37) + protocol rows (protocol.cc)."""
+        IOfunctions.cc:37) + protocol rows (protocol.cc).  `fields` and
+        `spectrum` carry the independent outnum / outnum_ps cadences
+        (barcoderunner.cc:513-533)."""
         s = self.current_signal(chain)
         mc = self.conf.model
-        bio.write_array(self.dir / f"deltaLAG_{iteration}", np.asarray(s))
-        d_eul = self._lag2eul_jit(s)
-        bio.write_array(self.dir / f"deltaEUL_{iteration}", np.asarray(d_eul))
-        if mc.forward.rsd:
-            d_rss = self._lag2eul_rsd_jit(s)
-            bio.write_array(self.dir / f"deltaRSS_{iteration}", np.asarray(d_rss))
-        km, pw, _ = self._spec_jit(s)
-        bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
-        if self._violations_jit is not None:
+        if fields:
+            bio.write_array(self.dir / f"deltaLAG_{iteration}", np.asarray(s))
+            d_eul = self._lag2eul_jit(s)
+            bio.write_array(self.dir / f"deltaEUL_{iteration}", np.asarray(d_eul))
+            if mc.forward.rsd:
+                d_rss = self._lag2eul_rsd_jit(s)
+                bio.write_array(self.dir / f"deltaRSS_{iteration}", np.asarray(d_rss))
+        if spectrum:
+            km, pw, _ = self._spec_jit(s)
+            bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+        if fields and self._violations_jit is not None:
             nviol = int(self._violations_jit(s))
             if nviol:
                 print(f"WARNING: {nviol} particles breach the Pallas deposit "
                       f"halo contract (pallas_halo={self.conf.model.forward.pallas_halo})"
                       " — their mass is dropped; increase pallas_halo")
-        if self._protocols is not None:
+        if spectrum and self._protocols is not None:
             acc = float(np.asarray(self.states.acc_flags[chain]).mean())
             resid = float(self.states.psi_like[chain]) / (self.g.N / 2.0)
             self._protocols.log_convergence(iteration, resid, acc)
@@ -317,10 +322,11 @@ class Runner:
 
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
-        # samples 1-10 are always dumped, then every outnum-th
-        # (input.par `outnum` comment; barcoderunner.cc:512-528);
-        # the cursor persists across segmented run() calls
-        next_dump = getattr(self, "_next_dump", 1)
+        # samples 1-10 always dump fields AND spectra; afterwards fields
+        # follow outnum and spectra follow their own outnum_ps cadence
+        # (barcoderunner.cc:513-533); the cursor persists across segmented
+        # run() calls
+        dump_cursor = getattr(self, "_dump_cursor", 0)
         attempts_done = 0
         # metrics/traces persist across segmented run() calls (long runs are
         # driven in wall-clock segments; diagnostics should span them all)
@@ -344,10 +350,13 @@ class Runner:
             if log:
                 self._log_attempts(stats)
             acc0 = int(self.states.accepted[0])
-            while acc0 >= next_dump and next_dump <= n_samples:
-                self.dump_sample(next_dump)
-                next_dump += 1 if next_dump < 10 else max(1, conf.outnum)
-            self._next_dump = next_dump
+            for i in range(dump_cursor + 1, min(acc0, n_samples) + 1):
+                wf = i <= 10 or (conf.outnum > 0 and i % conf.outnum == 0)
+                wp = i <= 10 or (conf.outnum_ps > 0 and i % conf.outnum_ps == 0)
+                if wf or wp:
+                    self.dump_sample(i, fields=wf, spectrum=wp)
+            dump_cursor = max(dump_cursor, min(acc0, n_samples))
+            self._dump_cursor = dump_cursor
             # mass recompute cadence (Hamiltonian_mass reload, HMC.cc:387-424;
             # massnum_burn before / massnum_post after burn-in, 0 = never).
             # Only the signal-dependent masses (likelihood-force types) change.
@@ -360,6 +369,27 @@ class Runner:
                     self.mass = self._compute_mass()
                     self._mass_at_sample = acc0
             min_acc = int(self.states.accepted.min())
+            # itmax: attempt cap per sample (HMC.cc:431).  The reference
+            # never aborts on it — security_recursion re-enters
+            # HamiltonianMC, whose first act is to recompute/reload the mass
+            # (sample_maker.cc:17-34, HMC.cc:387-424).  Emulate: when the
+            # slowest chain stalls for itmax attempts, recompute the mass
+            # and continue.
+            if conf.hmc.itmax > 0:
+                if min_acc > getattr(self, "_stall_acc", -1):
+                    self._stall_acc = min_acc
+                    self._stall_attempts = 0
+                else:
+                    self._stall_attempts = (getattr(self, "_stall_attempts", 0)
+                                            + self.attempt_batch)
+                    if self._stall_attempts >= conf.hmc.itmax:
+                        if log:
+                            print(f"itmax={conf.hmc.itmax} attempts without "
+                                  "an accepted sample — recomputing the mass "
+                                  "and retrying (security_recursion, "
+                                  "sample_maker.cc:17-34)")
+                        self.mass = self._compute_mass()
+                        self._stall_attempts = 0
             if dash.enabled:
                 dash.update(stats, self.states, self.metrics.summary(),
                             extra=f"rhat={rhat:.3f}" if np.isfinite(rhat) else "")
@@ -442,4 +472,79 @@ class Runner:
             for i in range(len(leaves))
         ]
         self.states = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return self
+
+    def _replay_perflog(self):
+        """Reconstruct the adaptive-eps state from performance_log.txt —
+        the reference's restart path (barcoderunner.cc:408-479): rejection
+        count and the (accepted, epsilon) circular tables are replayed
+        exactly; eps_fac is the max epsilon among recently *accepted*
+        attempts (the reference's own approximation for controllers 2/3,
+        barcoderunner.cc:449-473).  Returns None when no log exists."""
+        path = self.dir / "performance_log.txt"
+        if not path.exists():
+            return None
+        rows = []
+        for line in path.read_text().splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split("\t")
+            rows.append((float(parts[0]), float(parts[1])))  # accepted, eps
+        if not rows:
+            return None
+        n_a = self.conf.hmc.N_a_eps_update
+        acc = np.zeros(n_a, np.int32)
+        eps = np.full(n_a, self.conf.hmc.eps_fac_start(self.g.N), np.float32)
+        for t, (a, e) in enumerate(rows):
+            acc[t % n_a] = int(a)
+            eps[t % n_a] = e
+        recent = rows[-n_a:]
+        acc_eps = [e for a, e in recent if a > 0]
+        eps_fac = max(acc_eps) if acc_eps else float(eps.max())
+        return {
+            "count_attempts": len(rows),
+            "rejections": len(rows) - sum(int(a) for a, _ in rows),
+            "acc_flags": acc,
+            "eps_table": eps,
+            "eps_fac": eps_fac,
+            "got_first_accept": any(a > 0 for a, _ in rows),
+        }
+
+    def restore_from_dumps(self, iteration: int):
+        """File-based restart without a checkpoint (main.cc:121-131,
+        load_initial_fields barcoderunner.cc:284-344): resume from the
+        dumped deltaLAG_<iteration> field (win/nobs/sigma were already
+        loaded by setup()).  Chain 0 resumes the dumped sample exactly;
+        other chains keep their re-dispersed initial guesses (they restart
+        their own trajectories — the multi-chain generalization of the
+        single-chain reference resume).  The adaptive-eps controller state
+        is reconstructed by replaying performance_log.txt (§3.5)."""
+        from barcode_tpu.model.posterior import make_psi_force
+
+        s0 = jnp.asarray(bio.read_array(self.dir / f"deltaLAG_{iteration}",
+                                        self.g.shape))
+        delta = self.states.delta.at[0].set(s0)
+        vag = make_psi_force(self.g, self.conf.model, self.gp, self.obs)
+        (psi, (pp, pl)), grad = jax.jit(jax.vmap(vag))(delta)
+        n_chains = delta.shape[0]
+        rep = self._replay_perflog()
+        st = dataclasses.replace(
+            self.states, delta=delta, psi=psi, psi_prior=pp, psi_like=pl,
+            grad=grad,
+            accepted=jnp.full(n_chains, iteration, jnp.int32))
+        if rep is not None:
+            bc = lambda x: jnp.broadcast_to(jnp.asarray(x), (n_chains,)
+                                            + jnp.asarray(x).shape)
+            st = dataclasses.replace(
+                st,
+                eps_fac=jnp.full(n_chains, rep["eps_fac"], jnp.float32),
+                acc_flags=bc(rep["acc_flags"]).astype(jnp.int32),
+                eps_table=bc(rep["eps_table"]).astype(jnp.float32),
+                count_attempts=jnp.full(n_chains, rep["count_attempts"],
+                                        jnp.int32),
+                rejections=jnp.full(n_chains, rep["rejections"], jnp.int32),
+                got_first_accept=jnp.full(n_chains, rep["got_first_accept"],
+                                          bool))
+        self.states = st
+        self._dump_cursor = iteration
         return self

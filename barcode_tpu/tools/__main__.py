@@ -33,7 +33,11 @@ def main(argv=None):
         sp.add_argument("--out", default=None)
         sp.add_argument("--fft-upsample", type=int, default=1,
                         help="band-limited zero-pad upsampling factor before "
-                             "measuring (2D_corr_fct_interp's FFT mode)")
+                             "measuring (2D_corr_fct_interp's interp_mode=1)")
+        sp.add_argument("--cic-upsample", type=int, default=1,
+                        help="CIC-interpolate onto an N*factor grid before "
+                             "measuring (2D_corr_fct_interp's interp_mode=0, "
+                             "interp_field: gather at output cell centers)")
 
     sp = sub.add_parser("lag2eul", help="delta_lag grid -> delta_eul (LAG2EULer)")
     _grid_arg(sp)
@@ -85,9 +89,21 @@ def run_tool(args):
     if tool in ("powspec", "corr_fct", "2D_powspec", "2D_corr_fct"):
         g = GridSpec.cube(args.N, args.L)
         x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
+        if getattr(args, "fft_upsample", 1) > 1 and \
+                getattr(args, "cic_upsample", 1) > 1:
+            raise SystemExit("choose one of --fft-upsample / --cic-upsample")
         if getattr(args, "fft_upsample", 1) > 1:
             x = jax.jit(lambda x: fourier.fft_upsample(x, g, args.fft_upsample))(x)
             g = GridSpec.cube(args.N * args.fft_upsample, args.L)
+        elif getattr(args, "cic_upsample", 1) > 1:
+            # interp_mode=0 of 2D_corr_fct_interp (interp_field,
+            # tools/2D_corr_fct_interp.cc:35-63): CIC-gather the input at
+            # the upsampled grid's cell centers, then measure
+            from barcode_tpu.forward import assign, particles
+            g_out = GridSpec.cube(args.N * args.cic_upsample, args.L)
+            pos_out = particles.lagrangian_positions(g_out)
+            x = jax.jit(lambda x: assign.cic_gather(x, pos_out, g))(x)
+            g = g_out
         out = args.out or f"{args.fname_in}_{tool}"
         if tool == "powspec":
             km, pw, _ = jax.jit(lambda x: fourier.measure_spectrum(x, g, args.nbin))(x)
@@ -174,32 +190,57 @@ def run_tool(args):
         return 0
 
     if tool == "poisson_upres":
+        # exact reference semantics (discrete_poisson_sample + CIC,
+        # tools/poisson_upres.cc:14-157): Poisson counts per INPUT cell with
+        # lambda = Nbar*(1+delta), each particle at an independent uniform
+        # position inside its input cell, CIC deposit onto the OUTPUT grid,
+        # density grid written.  Host-side numpy: the per-particle expansion
+        # is data-dependent-size (np.repeat), exactly like the reference's
+        # serial loop — this is an offline tool, not a sampler path.
         g = GridSpec.cube(args.N, args.L)
         g_out = GridSpec.cube(args.N_out, args.L)
-        x = jnp.asarray(bio.read_array(args.fname_in, g.shape))
-        from barcode_tpu.forward import assign, particles
-
-        # CIC-interpolate lambda onto the output grid, scale to Nbar per cell
-        pos_out = particles.lagrangian_positions(g_out)
-        lam = assign.cic_gather(x, pos_out, g)
-        lam = jnp.maximum(args.Nbar * (1.0 + lam), 0.0)
-        key = jax.random.key(args.seed)
-        k1, k2 = jax.random.split(key)
-        counts = jax.random.poisson(k1, lam)
-        u = jax.random.uniform(k2, (3,) + g_out.shape)
-        d = jnp.asarray(g_out.cell).reshape(3, 1, 1, 1)
-        base = particles.lagrangian_positions(g_out) - 0.5 * d
-        pos = base + u * d  # one random position per cell; weight = count
-        out = args.out or f"{args.fname_in}_pois{args.N_out}"
-        for a, name in enumerate("xyz"):
-            bio.write_array(f"{out}_{name}", np.asarray(pos[a]).ravel())
-        bio.write_array(f"{out}_w", np.asarray(counts).ravel().astype(np.float32))
-        print(f"wrote {out}_[xyzw].dat (weighted positions: one site per cell, "
-              "weight = Poisson count; exact per-particle jitter needs host-side "
-              "expansion)")
+        x = np.asarray(bio.read_array(args.fname_in, g.shape), np.float64)
+        lam = np.maximum(args.Nbar * (1.0 + x), 0.0)
+        rng = np.random.default_rng(args.seed)
+        counts = rng.poisson(lam)
+        cells = np.repeat(np.arange(counts.size), counts.ravel())
+        ci = cells // (g.N2 * g.N3)
+        cj = (cells // g.N3) % g.N2
+        ck = cells % g.N3
+        d = np.asarray(g.cell, np.float64)
+        u = rng.random((3, cells.size))
+        pos = np.stack([(ci + u[0]) * d[0], (cj + u[1]) * d[1],
+                        (ck + u[2]) * d[2]])
+        rho = _cic_deposit_host(pos, g_out)
+        out = args.out or f"{args.fname_in}_poisCIC{args.N_out}_Nbar{args.Nbar:g}"
+        bio.write_array(out, rho.astype(np.float32))
+        print(f"wrote {out}.dat ({cells.size} Poisson particles)")
         return 0
 
     raise SystemExit(f"unknown tool {args.tool}")
+
+
+def _cic_deposit_host(pos, g):
+    """Host-side CIC deposit of an arbitrary particle list (unit masses),
+    the getDensity_CIC convention: base = floor(x/d - 1/2), weights
+    (1-frac)/frac over the 8 corners, periodic wrap
+    (/root/reference/barlib/src/massFunctions.cc:100-164)."""
+    import numpy as np
+    d = np.asarray(g.cell, np.float64).reshape(3, 1)
+    v = pos / d - 0.5
+    base = np.floor(v).astype(np.int64)
+    frac = v - base
+    N = (g.N1, g.N2, g.N3)
+    rho = np.zeros(g.shape, np.float64)
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                w = ((frac[0] if ox else 1.0 - frac[0])
+                     * (frac[1] if oy else 1.0 - frac[1])
+                     * (frac[2] if oz else 1.0 - frac[2]))
+                np.add.at(rho, ((base[0] + ox) % N[0], (base[1] + oy) % N[1],
+                                (base[2] + oz) % N[2]), w)
+    return rho
 
 
 if __name__ == "__main__":

@@ -40,6 +40,8 @@ if len(BLOCK) == 1:
 # deposit block: "auto" -> (16,16) when the grid divides it (r3 sweep optimum)
 _BD = os.environ.get("BENCH_BLOCK_DEP", "auto")
 BLOCK_DEP = None if _BD == "auto" else tuple(int(b) for b in _BD.split(","))
+if BLOCK_DEP is not None and len(BLOCK_DEP) == 1:
+    BLOCK_DEP = (BLOCK_DEP[0], BLOCK_DEP[0])  # square block, as BENCH_BLOCK
 # bf16 MXU dots in the Pallas kernels (force path / deposit path)
 BF16_GRAD = os.environ.get("BENCH_BF16_GRAD", "0") == "1"
 BF16_DEP = os.environ.get("BENCH_BF16_DEP", "0") == "1"

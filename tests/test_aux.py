@@ -212,3 +212,61 @@ def test_cli_profile_flag(tmp_path, monkeypatch):
                    "--no-dashboard", "--profile", str(prof_dir)])
     assert rc == 0
     assert prof_dir.exists() and any(prof_dir.rglob("*"))
+
+
+def test_tools_cic_upsample_flag(tmp_path):
+    """interp_mode=0 of 2D_corr_fct_interp: CIC-upsample then measure."""
+    import jax
+    from barcode_tpu import io as bio
+    from barcode_tpu.tools.__main__ import main
+
+    x = np.asarray(jax.random.normal(jax.random.key(12), G.shape))
+    fname = tmp_path / "grid"
+    bio.write_array(fname, x)
+    assert main(["2D_corr_fct", str(fname), "16", "160.0", "--nbin", "8",
+                 "--cic-upsample", "2"]) == 0
+    corr = bio.read_array(str(fname) + "_2D_corr_fct", (8, 8))
+    assert np.isfinite(corr).all()
+    # both upsample modes at once is an error
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["powspec", str(fname), "16", "160.0",
+              "--fft-upsample", "2", "--cic-upsample", "2"])
+
+
+def test_tools_poisson_upres_exact(tmp_path):
+    """Reference semantics (tools/poisson_upres.cc): Poisson counts per
+    input cell, per-particle uniform in-cell jitter, CIC density on the
+    output grid.  Mass conservation is exact (periodic CIC); the cell-mean
+    matches Nbar * (N/N_out)^3."""
+    import jax
+    from barcode_tpu import io as bio
+    from barcode_tpu.tools.__main__ import main
+
+    delta = 0.5 * np.asarray(jax.random.normal(jax.random.key(13), G.shape))
+    fname = tmp_path / "delta"
+    bio.write_array(fname, delta)
+    assert main(["poisson_upres", str(fname), "16", "160.0", "32", "4.0",
+                 "--seed", "5"]) == 0
+    rho = bio.read_array(str(fname) + "_poisCIC32_Nbar4", (32, 32, 32))
+    assert (rho >= 0).all()
+    n_part = rho.sum()
+    expect = 4.0 * np.maximum(1.0 + delta, 0.0).sum()
+    # Poisson fluctuation of sum ~ sqrt(expect)
+    assert abs(n_part - expect) < 6.0 * np.sqrt(expect)
+    assert float(n_part) == int(round(float(n_part)))  # integer total mass
+
+
+def test_cic_deposit_host_matches_assign(tmp_path):
+    """The tool's host CIC equals the jitted CIC deposit on grid-shaped
+    particle sets (same getCICcells convention)."""
+    from barcode_tpu.forward import assign, particles
+    from barcode_tpu.tools.__main__ import _cic_deposit_host
+
+    key = jax.random.key(14)
+    pos = particles.lagrangian_positions(G) + \
+        0.8 * G.cell[0] * jax.random.normal(key, (3,) + G.shape)
+    pos = particles.wrap(pos, G)
+    ref = np.asarray(assign.cic_deposit(pos, G))
+    host = _cic_deposit_host(np.asarray(pos).reshape(3, -1), G)
+    np.testing.assert_allclose(host, ref, atol=1e-4)

