@@ -82,8 +82,14 @@ def _acc_rate_update(eps_fac, count_attempts, acc_flags, eps_table,
     reduction)."""
     fire = (count_attempts % hc.N_a_eps_update == 0) & (count_attempts > 0)
     if pool_axis is not None:
-        acc_flags = jax.lax.all_gather(acc_flags, pool_axis).reshape(-1)
-        eps_table = jax.lax.all_gather(eps_table, pool_axis).reshape(-1)
+        # pool_axis may mix vmap and shard_map axis names (the sharded
+        # sampler pools over ('chains', 'chains_local')); all_gather rejects
+        # such tuples, so gather one axis at a time
+        axes = (pool_axis if isinstance(pool_axis, (tuple, list))
+                else (pool_axis,))
+        for ax in axes:
+            acc_flags = jax.lax.all_gather(acc_flags, ax).reshape(-1)
+            eps_table = jax.lax.all_gather(eps_table, ax).reshape(-1)
         hc = dataclasses.replace(hc, N_a_eps_update=acc_flags.shape[0])
     alpha = jnp.mean(acc_flags.astype(jnp.float32))
     acc_target = (hc.acc_max + hc.acc_min) / 2.0

@@ -249,7 +249,11 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
         inv_p = jnp.where(power_f > 0, (g.vol / g.N) / jnp.where(power_f > 0, power_f, 1.0), 0.0)
         Sinv_d = sf._irfft3_local(inv_p * Fd, n_dev, g.N3, AXIS)
         psi_prior = 0.5 * jnp.sum(delta * Sinv_d)
-        return jax.lax.psum(psi_prior + psi_like, AXIS)
+        # global sums; the (prior, like) split feeds the 12-column perflog
+        # (HMC.cc:40-60) exactly as the dense posterior.make_psi_force does
+        pp = jax.lax.psum(psi_prior, AXIS)
+        pl = jax.lax.psum(psi_like, AXIS)
+        return pp + pl, (pp, pl)
 
     return psi_local
 
@@ -292,7 +296,7 @@ def make_sharded_psi(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     # cotangent annotations (JAX 0.9), which blocks jax.grad through the
     # sharded spectral pipeline otherwise
     shmapped = jax.shard_map(
-        psi_local, mesh=mesh,
+        lambda *a: psi_local(*a)[0], mesh=mesh,
         in_specs=(x_spec, x_spec, x_spec, x_spec, f_spec),
         out_specs=P(), check_vma=False)
 
@@ -323,22 +327,25 @@ def make_sharded_psi_vg_chains(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     def local(delta_c, nobs, window, noise, power_f):
         # delta_c: (nc_local, n1_local, N2, N3); chains batch via vmap, the
         # 'grid' collectives broadcast over it
-        return jax.vmap(
-            lambda d: psi_local(d, nobs, window, noise, power_f))(delta_c)
+        def one(d):
+            psi, (pp, pl) = psi_local(d, nobs, window, noise, power_f)
+            return psi, pp, pl
+        return jax.vmap(one)(delta_c)
 
     shmapped = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("chains", AXIS, None, None), P(AXIS, None, None),
                   P(AXIS, None, None), P(AXIS, None, None),
                   P(None, AXIS, None)),
-        out_specs=P("chains"), check_vma=False)
+        out_specs=(P("chains"), P("chains"), P("chains")), check_vma=False)
 
     def vg_fn(delta_batch, obs: ObsData):
         def f(d):
-            vals = shmapped(d, obs.nobs, obs.window, obs.noise, obs.power)
-            return vals.sum(), vals
-        (_, vals), grads = jax.value_and_grad(f, has_aux=True)(delta_batch)
-        return vals, grads
+            vals, pp, pl = shmapped(d, obs.nobs, obs.window, obs.noise,
+                                    obs.power)
+            return vals.sum(), (vals, (pp, pl))
+        (_, (vals, aux)), grads = jax.value_and_grad(f, has_aux=True)(delta_batch)
+        return (vals, aux), grads
 
     return jax.jit(vg_fn)
 

@@ -2,10 +2,12 @@
 
 The session-level counterpart of runner.Runner for grids that exceed one
 chip (BASELINE ladder config 5): mock/observed-data setup, per-chain initial
-guesses, the sharded attempt loop (parallel/sharded_sampler.py), the
-reference's adaptive step-size controllers applied per chain *between*
-jitted attempts, performance logging, periodic sample dumps and a
-single-file checkpoint.
+guesses, batched on-device sharded attempts (parallel/sharded_sampler.py —
+the adaptive-eps controllers run INSIDE the jitted attempt since round 4,
+so a dispatch covers attempt_batch attempts with no host round-trip),
+full 12-column performance logging, deltaLAG/EUL/RSS + spectrum dumps on
+the outnum/outnum_ps cadences, protocol files, R-hat/ESS diagnostics and a
+single-file checkpoint — the same surface as the dense Runner.
 
 Parity: this covers the barcoderunner Gibbs loop responsibilities
 (/root/reference/barlib/src/barcoderunner.cc:364-544) for the sharded
@@ -16,8 +18,10 @@ sharded over the 'grid' axis, and the posterior gradient flows through the
 sharded FFT / halo-exchange deposit pipeline.
 
 Scope notes (documented limits, not silent gaps):
-  * Fourier-space masses only (mass_type 1/4) — the sharded attempt applies
-    M^-1 as a spectral multiply; real-space/Jasche masses stay dense-mode.
+  * Fourier-space masses only (mass types 1/2/3/4) — the sharded attempt
+    applies M^-1 as a spectral multiply; the likelihood-force spectra of
+    types 2/3 are built once at setup from the dense chain-0 guess (the
+    massnum recompute cadence stays a dense-runner feature).
   * Mock generation and dumps run dense on the host at setup/output time
     (one-off, not in the sampling hot path).
   * ForwardConfig.pallas_deposit routes the sharded deposit through the
@@ -27,6 +31,7 @@ Scope notes (documented limits, not silent gaps):
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 
@@ -40,13 +45,12 @@ from barcode_tpu import mock as mock_mod
 from barcode_tpu import random_fields
 from barcode_tpu.config import RunConfig
 from barcode_tpu.grid import fourier
-from barcode_tpu.hmc import adapt, mass as mass_mod
+from barcode_tpu.hmc import mass as mass_mod
 from barcode_tpu.model.likelihoods import ObsData
 from barcode_tpu.parallel import sharded_forward as sfw
 from barcode_tpu.parallel import sharded_sampler as ss
 from barcode_tpu.parallel.sharded_forward import AXIS
-
-PERFLOG_COLUMNS = ["accepted", "epsilon", "Neps", "dH"]
+from barcode_tpu.runner import PERFLOG_COLUMNS
 
 
 def default_mesh(n_chains: int) -> Mesh:
@@ -61,9 +65,9 @@ def default_mesh(n_chains: int) -> Mesh:
 class ShardedRunner:
     def __init__(self, conf: RunConfig, mesh: Mesh | None = None,
                  out_dir: str | None = None, halo: int | None = None):
-        if conf.hmc.mass_type not in (1, 4):
+        if conf.hmc.mass_type not in (1, 2, 3, 4):
             raise ValueError("sharded mode supports Fourier-space masses "
-                             f"(mass_type 1/4), got {conf.hmc.mass_type}")
+                             f"(mass_type 1/2/3/4), got {conf.hmc.mass_type}")
         self.conf = conf
         self.g = conf.grid
         self.gp = conf.growth()
@@ -78,11 +82,15 @@ class ShardedRunner:
         self.truth = None
         self.state = None        # sharded chain-state dict
         self.mass_f = None       # sharded FS mass spectrum
-        self._attempt = None
+        self.attempt_batch = 16
+        self._run = None
         self._perflog = None
-        self._next_dump = 1
+        self._dump_cursor = 0
+        self._truth_spec = None
         self._spec_jit = jax.jit(
             lambda x: fourier.measure_spectrum(x, self.g, self.conf.N_bin))
+        from barcode_tpu.protocol import Protocols
+        self._protocols = Protocols(self.dir)
 
     # -- setup -------------------------------------------------------------
 
@@ -134,7 +142,13 @@ class ShardedRunner:
             mock_mod.validate(md, conf.model.likelihood)
             self.obs, self.truth = md.obs, md.truth_lag
             bio.write_array(self.dir / "deltaLAGtest", np.asarray(md.truth_lag))
+            bio.write_array(self.dir / "deltaEULtest", np.asarray(md.truth_eul))
+            bio.write_array(self.dir / "win", np.asarray(md.obs.window))
             bio.write_array(self.dir / "nobs", np.asarray(md.obs.nobs))
+            bio.write_array(self.dir / "sigma", np.asarray(md.obs.noise))
+            km, pw, _ = self._spec_jit(md.truth_lag)
+            bio.dump_spectrum(self.dir / "specLAGtest.dat", km, pw)
+            self._truth_spec = np.asarray(pw)
         else:
             shape = g.shape
             win = jnp.asarray(bio.read_array(self.dir / "win", shape))
@@ -143,6 +157,15 @@ class ShardedRunner:
             self.obs = ObsData(nobs=nobs, window=win, noise=sigma,
                                power=power, delta_min=conf.delta_min)
         self.obs_sh = sfw.shard_obs_chains(self.obs, mesh)
+
+        # dense lag2eul jits for the deltaEUL/RSS dumps (output-time only)
+        from barcode_tpu.forward.lag2eul import lag2eul
+        self._lag2eul_jit = jax.jit(
+            lambda s: lag2eul(s, g, dataclasses.replace(
+                fc, rsd=False, pallas_deposit=False), gp))
+        self._lag2eul_rsd_jit = jax.jit(
+            lambda s: lag2eul(s, g, dataclasses.replace(
+                fc, pallas_deposit=False), gp)) if fc.rsd else None
 
         # auto-halo: with the Pallas slab deposit the kernel cost scales
         # ~linearly with the halo, so measure the true displacement bound
@@ -160,132 +183,207 @@ class ShardedRunner:
         else:
             batch = jnp.stack([self._initial_guess(k_guess, power)]
                               * self.n_chains)
+        bio.write_array(self.dir / "initial_guess", np.asarray(batch[0]))
+        km, pw, _ = self._spec_jit(batch[0])
+        bio.dump_spectrum(self.dir / "spec_initial_guess.dat", km, pw)
         batch = jax.device_put(
             batch, NamedSharding(mesh, P("chains", AXIS, None, None)))
 
         vg = sfw.make_sharded_psi_vg_chains(
             g, fc, gp, conf.model.likelihood, mesh, halo=self.halo)
-        vals, grads = vg(batch, self.obs_sh)
+        (vals, aux), grads = vg(batch, self.obs_sh)
         self._vg = vg
 
         seeds = (conf.seed + 1 + jnp.arange(self.n_chains)).astype(jnp.uint32)
-        eps0 = jnp.full(self.n_chains, conf.hmc.eps_fac_target(g.N),
+        eps0 = jnp.full(self.n_chains, conf.hmc.eps_fac_start(g.N),
                         jnp.float32)
         self.state = ss.shard_chain_state(
-            ss.init_chain_state(batch, vals, grads, seeds, eps0), mesh)
+            ss.init_chain_state(batch, vals, aux, grads, seeds, eps0,
+                                conf.hmc), mesh)
 
-        mass = mass_mod.compute_mass(g, conf.hmc.mass_type, power,
-                                     nbin=conf.N_bin,
-                                     mass_factor=conf.hmc.mass_factor)
+        # FS mass; likelihood-force types (2/3) build their force spectrum
+        # once from the dense chain-0 guess (likeli_force_mass semantics,
+        # HMC_mass.cc:127-161)
+        force = None
+        if conf.hmc.mass_type in (2, 3):
+            from barcode_tpu.model import posterior as post_mod
+            mc = conf.model
+
+            def psi_like_only(s):
+                if mc.likelihood == 3:
+                    from barcode_tpu.model import likelihoods
+                    return likelihoods.grf_psi(s, self.obs)
+                from barcode_tpu.forward.lag2eul import lag2eul as l2e
+                dx = l2e(mc.deltaQ_factor * s, g, dataclasses.replace(
+                    fc, pallas_deposit=False), gp)
+                from barcode_tpu.model import likelihoods
+                return likelihoods.likelihood_psi(mc.likelihood, dx, self.obs)
+
+            force = jax.jit(jax.grad(psi_like_only))(np.asarray(batch[0]))
+        from barcode_tpu.forward.lag2eul import kernel_h as kh
+        mass = jax.jit(lambda P_, f: mass_mod.compute_mass(
+            g, conf.hmc.mass_type, P_, nbin=conf.N_bin, likeli_force=f,
+            mass_factor=conf.hmc.mass_factor, window=self.obs.window,
+            noise=self.obs.noise, kernel_h=kh(fc, g)))(
+                power, force if force is not None else jnp.zeros(g.shape))
         self.mass_f = jax.device_put(
             mass.mass_f, NamedSharding(mesh, P(None, AXIS, None)))
 
-        self._attempt = ss.make_sharded_attempt(
-            g, fc, gp, conf.model.likelihood, conf.hmc, mesh, halo=self.halo)
-        self._init_adaptation()
+        self._run = ss.make_sharded_sampler(
+            g, fc, gp, conf.model.likelihood, conf.hmc, mesh, halo=self.halo,
+            n_attempts_per_call=self.attempt_batch)
         return self
-
-    # -- adaptive step size (between jitted attempts) ------------------------
-
-    def _init_adaptation(self):
-        hc, nc = self.conf.hmc, self.n_chains
-        n_a = hc.N_a_eps_update
-        self._tables = {
-            "acc_flags": jnp.zeros((nc, n_a), jnp.int32),
-            "eps_table": jnp.full((nc, n_a), hc.eps_fac_target(self.g.N),
-                                  jnp.float32),
-            "count": jnp.zeros(nc, jnp.int32),
-            "rejections": jnp.zeros(nc, jnp.int32),
-            "first": jnp.zeros(nc, bool),
-        }
-        hcN, N = hc, self.g.N
-
-        @jax.jit
-        def post(tables, eps_fac, acc, eps):
-            """Record the attempt in the circular tables, then run the
-            per-chain controller (update_eps_fac, time_step.cpp:151-185)."""
-            ix = tables["count"] % hcN.N_a_eps_update
-            rows = jnp.arange(acc.shape[0])
-            t = {
-                "acc_flags": tables["acc_flags"].at[rows, ix].set(
-                    acc.astype(jnp.int32)),
-                "eps_table": tables["eps_table"].at[rows, ix].set(eps),
-                "count": tables["count"] + 1,
-                "rejections": tables["rejections"] + (~acc).astype(jnp.int32),
-                "first": tables["first"] | acc,
-            }
-            new_eps = jax.vmap(
-                lambda ef, ca, rj, gf, af, et: adapt.update_eps_fac(
-                    ef, ca, rj, gf, af, et, hcN, N)
-            )(eps_fac, t["count"], t["rejections"], t["first"],
-              t["acc_flags"], t["eps_table"])
-            return t, new_eps
-
-        self._post_jit = post
 
     # -- outputs -------------------------------------------------------------
 
-    def _log_attempt(self, stats):
+    def _log_attempts(self, stats):
+        """Chain-0 rows of the full 12-column performance_log.txt
+        (HMC.cc:40-60 format, as runner.Runner._log_attempts)."""
         if self._perflog is None:
             path = self.dir / "performance_log.txt"
             new = not path.exists()
             self._perflog = open(path, "a")
             if new:
                 self._perflog.write("# " + "\t".join(PERFLOG_COLUMNS) + "\n")
-        row = [float(np.asarray(stats[c])[0]) for c in PERFLOG_COLUMNS]
-        self._perflog.write("\t".join(f"{v:.6g}" for v in row) + "\n")
+        rows = np.column_stack([np.asarray(getattr(stats, c))[:, 0]
+                                for c in PERFLOG_COLUMNS])
+        for r in rows:
+            self._perflog.write("\t".join(f"{v:.6g}" for v in r) + "\n")
         self._perflog.flush()
 
-    def dump_sample(self, iteration: int, chain: int = 0):
-        s = np.asarray(self.state["delta"][chain])
-        bio.write_array(self.dir / f"deltaLAG_{iteration}", s)
-        km, pw, _ = self._spec_jit(jnp.asarray(s))
-        bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+    def dump_sample(self, iteration: int, chain: int = 0,
+                    fields: bool = True, spectrum: bool = True):
+        """deltaLAG/EUL(/RSS) + powSpecit + protocol rows, as the dense
+        runner (dump_deltas IOfunctionsGen.cc:136-171, dump_ps_it
+        IOfunctions.cc:37, protocol.cc)."""
+        s = jnp.asarray(np.asarray(self.state["delta"][chain]))
+        if fields:
+            bio.write_array(self.dir / f"deltaLAG_{iteration}", np.asarray(s))
+            d_eul = self._lag2eul_jit(s)
+            bio.write_array(self.dir / f"deltaEUL_{iteration}",
+                            np.asarray(d_eul))
+            if self._lag2eul_rsd_jit is not None:
+                d_rss = self._lag2eul_rsd_jit(s)
+                bio.write_array(self.dir / f"deltaRSS_{iteration}",
+                                np.asarray(d_rss))
+        if spectrum:
+            km, pw, _ = self._spec_jit(s)
+            bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
+            if self._protocols is not None:
+                acc = float(np.asarray(self.state["acc_flags"][chain]).mean())
+                resid = float(np.asarray(self.state["psi_like"][chain])) / \
+                    (self.g.N / 2.0)
+                self._protocols.log_convergence(iteration, resid, acc)
+                self._protocols.log_spectrum(iteration, km, pw,
+                                             self._truth_spec)
 
     # -- sampling loop -------------------------------------------------------
 
     def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
-            log: bool = True):
+            log: bool = True, progress_every: int = 10,
+            rhat_stop: float | None = None):
+        """Sample until every chain holds >= n_samples accepted samples,
+        with the same loop surface as runner.Runner.run: attempt batches on
+        device, metrics/psi traces, outnum/outnum_ps dump cadences, itmax
+        stall warning, optional cross-chain R-hat stop."""
+        from barcode_tpu.utils.metrics import SamplerMetrics, split_rhat
+
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
         attempts = 0
+        if getattr(self, "metrics", None) is None:
+            self.metrics = SamplerMetrics()
+        if getattr(self, "_psi_trace", None) is None:
+            self._psi_trace = []
+        rhat = float("inf")
         while attempts < max_attempts:
             if (self.dir / "fastexit").exists():
                 print("fastexit sentinel found — stopping cleanly")
                 break
-            self.state, stats = self._attempt(self.state, self.obs_sh,
-                                              self.mass_f)
-            attempts += 1
+            self.state, stats = self._run(self.state, self.obs_sh,
+                                          self.mass_f)
+            attempts += self.attempt_batch
+            self.metrics.update(stats)
+            self._psi_trace.append(np.asarray(self.state["psi"]))
             if log:
-                self._log_attempt(stats)
-            self._tables, new_eps = self._post_jit(
-                self._tables, self.state["eps_fac"], stats["accepted"],
-                stats["epsilon"])
-            self.state["eps_fac"] = jax.device_put(
-                new_eps, NamedSharding(self.mesh, P("chains")))
+                self._log_attempts(stats)
             acc0 = int(np.asarray(self.state["accepted"])[0])
-            while acc0 >= self._next_dump and self._next_dump <= n_samples:
-                self.dump_sample(self._next_dump)
-                self._next_dump += (1 if self._next_dump < 10
-                                    else max(1, conf.outnum))
+            for i in range(self._dump_cursor + 1,
+                           min(acc0, n_samples) + 1):
+                wf = i <= 10 or (conf.outnum > 0 and i % conf.outnum == 0)
+                wp = i <= 10 or (conf.outnum_ps > 0
+                                 and i % conf.outnum_ps == 0)
+                if wf or wp:
+                    self.dump_sample(i, fields=wf, spectrum=wp)
+            self._dump_cursor = max(self._dump_cursor, min(acc0, n_samples))
             min_acc = int(np.asarray(self.state["accepted"]).min())
+            # itmax stall guard (HMC.cc:431; FS masses are signal-free, so
+            # the security_recursion mass recompute is a no-op here — warn)
+            if conf.hmc.itmax > 0:
+                if min_acc > getattr(self, "_stall_acc", -1):
+                    self._stall_acc = min_acc
+                    self._stall_attempts = 0
+                else:
+                    self._stall_attempts = (
+                        getattr(self, "_stall_attempts", 0)
+                        + self.attempt_batch)
+                    if self._stall_attempts >= conf.hmc.itmax:
+                        if log:
+                            print(f"itmax={conf.hmc.itmax} attempts without "
+                                  "an accepted sample — continuing "
+                                  "(security_recursion semantics)")
+                        self._stall_attempts = 0
+            if log and attempts % (self.attempt_batch * progress_every) == 0:
+                print(self.metrics.status_line(
+                    f"acc_min={min_acc} eps_fac="
+                    f"{float(np.asarray(self.state['eps_fac']).mean()):.4g}"))
             if min_acc >= n_samples:
                 break
+            if rhat_stop is not None and len(self._psi_trace) >= 8 \
+                    and min_acc >= 1:
+                trace = np.stack(self._psi_trace, axis=1)
+                rhat = split_rhat(trace[:, trace.shape[1] // 2:])
+                if rhat < rhat_stop:
+                    if log:
+                        print(f"converged: split R-hat {rhat:.4f} < "
+                              f"{rhat_stop} after {attempts} attempts")
+                    break
             if conf.hmc.total_steps_lim and attempts >= conf.hmc.total_steps_lim:
                 raise RuntimeError("ABORTING: total steps exceeds "
                                    "total_steps_lim (HMC.cc:533-535)")
         return self.state
+
+    def diagnostics(self) -> dict:
+        """Throughput metrics + cross-chain split R-hat / ESS of the psi
+        traces — same surface as runner.Runner.diagnostics."""
+        from barcode_tpu.utils.metrics import split_rhat
+
+        out = dict(self.metrics.summary()) if hasattr(self, "metrics") else {}
+        if self.state is not None:
+            out["acc_rate_recent"] = float(
+                np.asarray(self.state["acc_flags"]).mean())
+            out["eps_fac"] = np.asarray(self.state["eps_fac"]).tolist()
+            out["accepted_per_chain"] = np.asarray(
+                self.state["accepted"]).tolist()
+        if getattr(self, "_psi_trace", None) and len(self._psi_trace) >= 4:
+            from barcode_tpu.utils.metrics import effective_sample_size
+            trace = np.stack(self._psi_trace, axis=1)
+            half = trace[:, trace.shape[1] // 2:]
+            out["rhat_psi"] = split_rhat(half)
+            out["ess_psi"] = sum(effective_sample_size(row) for row in half)
+        return out
 
     # -- checkpoint / resume --------------------------------------------------
 
     def checkpoint(self, path=None):
         path = Path(path or (self.dir / "checkpoint_sharded.npz"))
         arrs = {f"state_{k}": np.asarray(v) for k, v in self.state.items()}
-        arrs.update({f"tab_{k}": np.asarray(v)
-                     for k, v in self._tables.items()})
         np.savez(path, **arrs)
         path.with_suffix(".json").write_text(json.dumps(
-            {"next_dump": self._next_dump, "seed": self.conf.seed}))
+            {"dump_cursor": self._dump_cursor, "seed": self.conf.seed}))
+        if self._protocols is not None and self.state is not None:
+            self._protocols.write_restart_marker(
+                int(np.asarray(self.state["accepted"]).min()))
         return path
 
     def restore(self, path=None):
@@ -295,7 +393,6 @@ class ShardedRunner:
         state = {k[len("state_"):]: jnp.asarray(v) for k, v in data.items()
                  if k.startswith("state_")}
         self.state = ss.shard_chain_state(state, self.mesh)
-        self._tables = {k[len("tab_"):]: jnp.asarray(v)
-                        for k, v in data.items() if k.startswith("tab_")}
-        self._next_dump = int(meta["next_dump"])
+        self._dump_cursor = int(meta.get("dump_cursor",
+                                         meta.get("next_dump", 1) - 1))
         return self

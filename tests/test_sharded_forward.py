@@ -103,7 +103,7 @@ def test_chains_grid_mesh_psi_and_grad():
     obs_sh = sfw.shard_obs_chains(obs, mesh2)
     batch_sh = jax.device_put(
         batch, NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
-    vals, grads = vg(batch_sh, obs_sh)
+    (vals, _), grads = vg(batch_sh, obs_sh)
     for c in range(4):
         v_ref, g_ref = dense_vg(batch[c])
         np.testing.assert_allclose(float(vals[c]), float(v_ref), rtol=3e-4)
@@ -172,7 +172,7 @@ def test_sharded_pallas_chains_grid_mesh():
     batch = jnp.stack([0.5 * truth, -0.3 * truth])
     batch_sh = jax.device_put(
         batch, NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
-    vals, grads = vg(batch_sh, obs_sh)
+    (vals, _), grads = vg(batch_sh, obs_sh)
     for c in range(2):
         v_ref, g_ref = dense_vg(batch[c])
         g_ref = np.asarray(g_ref)

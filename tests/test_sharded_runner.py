@@ -47,10 +47,18 @@ def test_sharded_runner_end_to_end(conf, mesh2, tmp_path):
     assert (tmp_path / "powSpecit1.dat").exists()
     log = (tmp_path / "performance_log.txt").read_text().splitlines()
     assert log[0].startswith("#") and len(log) >= 2
-    # adaptation tables advanced once per attempt
-    assert int(np.asarray(r._tables["count"])[0]) == len(log) - 1
+    # full 12-column rows (runner parity)
+    from barcode_tpu.runner import PERFLOG_COLUMNS
+    assert log[0] == "# " + "\t".join(PERFLOG_COLUMNS)
+    assert len(log[1].split("\t")) == len(PERFLOG_COLUMNS)
+    # in-state adaptation tables advanced once per attempt
+    assert int(np.asarray(state["count_attempts"])[0]) == len(log) - 1
+    # deltaEUL dumped alongside deltaLAG (runner parity)
+    assert (tmp_path / "deltaEUL_1.dat").exists()
+    # protocol files written
+    assert (tmp_path / "convergence.prt").exists()
     # state stays consistent with a fresh sharded psi evaluation
-    vals, _ = r._vg(state["delta"], r.obs_sh)
+    (vals, _), _ = r._vg(state["delta"], r.obs_sh)
     np.testing.assert_allclose(np.asarray(state["psi"]), np.asarray(vals),
                                rtol=2e-4)
 

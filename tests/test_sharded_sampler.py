@@ -43,11 +43,12 @@ def test_sharded_attempt_samples(mesh2):
     batch = jnp.stack([0.3 * truth] * N_CHAINS)
     batch = jax.device_put(
         batch, NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
-    vals, grads = vg(batch, obs_sh)
+    (vals, aux), grads = vg(batch, obs_sh)
 
-    state = ss.init_chain_state(batch, vals, grads,
+    state = ss.init_chain_state(batch, vals, aux, grads,
                                 jnp.arange(N_CHAINS, dtype=jnp.uint32),
-                                jnp.full(N_CHAINS, hc.eps_fac, jnp.float32))
+                                jnp.full(N_CHAINS, hc.eps_fac, jnp.float32),
+                                hc)
     state = ss.shard_chain_state(state, mesh2)
     attempt = ss.make_sharded_attempt(G, fc, GP, likelihood=1, hc=hc,
                                       mesh=mesh2, halo=2)
@@ -57,13 +58,13 @@ def test_sharded_attempt_samples(mesh2):
     dHs = []
     for _ in range(8):
         state, stats = attempt(state, obs_sh, mass_f)
-        dHs.append(np.asarray(stats["dH"]))
-        accepted += int(np.asarray(stats["accepted"]).sum())
+        dHs.append(np.asarray(stats.dH))
+        accepted += int(np.asarray(stats.accepted).sum())
     dHs = np.concatenate(dHs)
     assert np.isfinite(dHs).all()
     assert accepted >= 1                     # HMC is actually sampling
     # psi values stay consistent with a fresh sharded evaluation
-    vals2, _ = vg(state["delta"], obs_sh)
+    (vals2, _), _ = vg(state["delta"], obs_sh)
     np.testing.assert_allclose(np.asarray(state["psi"]), np.asarray(vals2),
                                rtol=2e-4)
 
@@ -82,16 +83,16 @@ def test_sharded_momenta_kinetic_expectation(mesh2):
     batch = jax.device_put(
         jnp.zeros((N_CHAINS,) + G.shape),
         NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
-    vals, grads = vg(batch, obs_sh)
-    state = ss.init_chain_state(batch, vals, grads,
+    (vals, aux), grads = vg(batch, obs_sh)
+    state = ss.init_chain_state(batch, vals, aux, grads,
                                 jnp.arange(N_CHAINS, dtype=jnp.uint32),
-                                jnp.full(N_CHAINS, 1e-6, jnp.float32))
+                                jnp.full(N_CHAINS, 1e-6, jnp.float32), hc)
     state = ss.shard_chain_state(state, mesh2)
     attempt = ss.make_sharded_attempt(G, fc, GP, likelihood=1, hc=hc,
                                       mesh=mesh2, halo=2)
     # with eps ~ 0 every attempt accepts and dH ~ 0; the kinetic part of H_i
     # is chi^2_N/2: check dH finite and tiny (integration exactness at eps->0)
     state, stats = attempt(state, obs_sh, obs_sh.power)
-    dh = np.asarray(stats["dH"])
+    dh = np.asarray(stats.dH)
     assert np.isfinite(dh).all() and (np.abs(dh) < 1.0).all()
-    assert np.asarray(stats["accepted"]).all()
+    assert np.asarray(stats.accepted).all()
