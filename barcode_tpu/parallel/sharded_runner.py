@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import time
 from pathlib import Path
 
 import jax
@@ -295,6 +296,7 @@ class ShardedRunner:
             self.metrics = SamplerMetrics()
         if getattr(self, "_psi_trace", None) is None:
             self._psi_trace = []
+            self._trace_t = []  # per-row wall stamps (see Runner.diagnostics)
         rhat = float("inf")
         while attempts < max_attempts:
             if (self.dir / "fastexit").exists():
@@ -305,6 +307,7 @@ class ShardedRunner:
             attempts += self.attempt_batch
             self.metrics.update(stats)
             self._psi_trace.append(np.asarray(self.state["psi"]))
+            self._trace_t.append(time.time())
             if log:
                 self._log_attempts(stats)
             acc0 = int(np.asarray(self.state["accepted"])[0])
@@ -368,9 +371,17 @@ class ShardedRunner:
         if getattr(self, "_psi_trace", None) and len(self._psi_trace) >= 4:
             from barcode_tpu.utils.metrics import effective_sample_size
             trace = np.stack(self._psi_trace, axis=1)
-            half = trace[:, trace.shape[1] // 2:]
+            half_ix = trace.shape[1] // 2
+            half = trace[:, half_ix:]
             out["rhat_psi"] = split_rhat(half)
-            out["ess_psi"] = sum(effective_sample_size(row) for row in half)
+            ess = sum(effective_sample_size(row) for row in half)
+            out["ess_psi"] = ess
+            # ESS/s over the measured half's actual wall span (see Runner)
+            ts = getattr(self, "_trace_t", [])
+            if len(ts) == trace.shape[1] and half_ix >= 1:
+                span = ts[-1] - ts[half_ix - 1]
+                if span > 0:
+                    out["ess_psi_per_s"] = ess / span
         return out
 
     # -- checkpoint / resume --------------------------------------------------

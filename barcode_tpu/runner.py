@@ -334,6 +334,10 @@ class Runner:
             self.metrics = SamplerMetrics()
         if getattr(self, "_psi_trace", None) is None:
             self._psi_trace: list[np.ndarray] = []
+            # wall-clock stamp per trace row: diagnostics() divides the ESS of
+            # the post-warmup half by the time that half actually took, not by
+            # a guessed fraction of the total
+            self._trace_t: list[float] = []
         dash = Dashboard(title=f"barcode_tpu  N={self.g.N1}  "
                          f"L={self.g.L1:g}", force=dashboard)
         rhat = float("inf")
@@ -345,6 +349,7 @@ class Runner:
             attempts_done += self.attempt_batch
             self.metrics.update(stats)
             self._psi_trace.append(np.asarray(self.states.psi))
+            self._trace_t.append(time.time())
             if nan_check:
                 check_finite(self.states, f"after attempt {attempts_done}")
             if log:
@@ -426,14 +431,23 @@ class Runner:
         if getattr(self, "_psi_trace", None) and len(self._psi_trace) >= 4:
             from barcode_tpu.utils.metrics import effective_sample_size
             trace = np.stack(self._psi_trace, axis=1)
-            half = trace[:, trace.shape[1] // 2:]
+            half_ix = trace.shape[1] // 2
+            half = trace[:, half_ix:]
             out["rhat_psi"] = split_rhat(half)
-            # ESS of psi summed over chains; trace rows are one attempt-batch
-            # apart, so scale to attempts
             ess = sum(effective_sample_size(row) for row in half)
             out["ess_psi"] = ess
-            if "elapsed_s" in out and out["elapsed_s"] > 0:
-                out["ess_psi_per_s"] = ess / (0.5 * out["elapsed_s"])
+            # ESS/s over the wall-clock span the measured half actually took
+            # (per-row timestamps recorded in run(); spans any host work
+            # between segments honestly)
+            ts = getattr(self, "_trace_t", [])
+            if len(ts) == trace.shape[1] and half_ix >= 1:
+                span = ts[-1] - ts[half_ix - 1]
+            elif "elapsed_s" in out:
+                span = 0.5 * out["elapsed_s"]  # legacy traces without stamps
+            else:
+                span = 0.0
+            if span > 0:
+                out["ess_psi_per_s"] = ess / span
         return out
 
     # -- checkpoint / resume ----------------------------------------------

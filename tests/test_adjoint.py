@@ -18,8 +18,9 @@ GP = GrowthParams(D1=0.9, D2=-0.4, ascale=1.0, cpecvel=52.85, hubble=100.0)
 
 @pytest.mark.parametrize("likelihood", [0, 1])
 @pytest.mark.parametrize("rsd", [False, True])
-def test_analytic_adjoint_matches_autodiff(likelihood, rsd):
-    fc = ForwardConfig(sfmodel=1, masskernel="sph_ft", rsd=rsd)
+@pytest.mark.parametrize("sfmodel", [1, 2, 3])
+def test_analytic_adjoint_matches_autodiff(likelihood, rsd, sfmodel):
+    fc = ForwardConfig(sfmodel=sfmodel, masskernel="sph_ft", rsd=rsd)
     P = jnp.full(G.rshape, 30.0).at[0, 0, 0].set(0.0)
     truth = rf.grf(jax.random.key(0), G, P)
     d_eul = lag2eul(truth, G, fc, GP)
