@@ -10,7 +10,11 @@ Baseline denominator: the reference C++ cannot be built in this image (no
 FFTW/GSL; see BASELINE.md), so `vs_baseline` divides by the same algorithm
 executed single-threaded on the host CPU (XLA CPU, 1 thread) — the
 reference's own execution model (single-core C++/FFTW) on this machine.
-The CPU number is cached in bench_cpu_baseline.json to keep bench runs fast.
+The canonical denominator lives in bench_cpu_baseline.json (committed):
+the best-of-3 measurement taken on an otherwise-idle box (round 4;
+BASELINE.md quotes the same number).  Delete the file to re-measure —
+but note an ad-hoc in-run measurement is usually *contended* (this
+2-core box also drives the TPU client) and biases vs_baseline high.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
