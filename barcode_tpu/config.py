@@ -181,6 +181,10 @@ class RunConfig:
             pallas_block_dep=(dep_x, dep_y or dep_x) if dep_x else None,
             pallas_bf16_grad=_get(p, "pallas_bf16_grad", bool, False),
             pallas_bf16_dep=_get(p, "pallas_bf16_dep", bool, False),
+            # halo-tail split: pallas_halo becomes a quantile bound and up
+            # to this many contract violators per deposit are handled
+            # exactly through the compacted XLA path (assign.py)
+            pallas_tail_k=_get(p, "pallas_tail_k", int, 0),
         )
         model = ModelConfig(
             likelihood=_get(p, "likelihood", int, 1),

@@ -240,10 +240,120 @@ def auto_block_dep(g: GridSpec, halo, block: tuple) -> tuple:
     return block
 
 
+# ---------------------------------------------------------------------------
+# Halo-tail split (round 4): both Pallas kernels pay MACs/VPU work
+# proportional to the x/y window area (B+2h)^2, sized by the WORST-CASE
+# displacement, although typical displacements are far smaller
+# (probe_r4_tail.json).  With a tail split the kernels run at a small halo
+# covering ~all particles; the rare violators are compacted with lax.top_k
+# and handled exactly through a K-row XLA scatter/gather.  Exactness: a
+# violator's in-kernel contribution is zeroed through the weighted deposit
+# channel (a violator can otherwise deposit PARTIAL mass — one-hot rows
+# tx+o can land in range while tx is out), and its gather-kernel gradient
+# is masked for the same reason; the tail path then adds the full 27-point
+# deposit/adjoint for exactly those rows.
+# ---------------------------------------------------------------------------
+
+def _halo_excess(pos, g: GridSpec, hx: int, hy: int):
+    """Per-particle violation excess of the x/y halo contract
+    |base - q| <= h - 1 (min-image, cells): > 0 iff the particle breaks
+    the contract on either axis.  Matches pallas_deposit.deposit_violations."""
+    d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
+    base = jnp.floor(pos / d)
+    qx = jnp.arange(g.N1, dtype=pos.dtype).reshape(g.N1, 1, 1)
+    qy = jnp.arange(g.N2, dtype=pos.dtype).reshape(1, g.N2, 1)
+    offx = jnp.mod(base[0] - qx + g.N1 / 2.0, g.N1) - g.N1 / 2.0
+    offy = jnp.mod(base[1] - qy + g.N2 / 2.0, g.N2) - g.N2 / 2.0
+    return jnp.maximum(jnp.abs(offx) - (hx - 1), jnp.abs(offy) - (hy - 1))
+
+
+def _compact_topk(m, k: int, rounds: int = 8):
+    """Approximate top-k compaction tuned for this backend: lax.top_k costs
+    ~44 ms at 16.7M rows here (probe_r4_tail.json — it would eat the tail
+    split's entire saving), so instead take `rounds` rounds of per-class
+    argmax over k//rounds STRIDED classes (row r belongs to class r % C;
+    striding decorrelates the spatially clustered violators, which are
+    adjacent in the x-major flattening).  Each round is one cheap reduction
+    pass; returns (vals, idx) of k = C*rounds candidate rows.  Exact
+    whenever every class holds <= `rounds` violators — with V << k
+    violators the expected max load is tiny; overflow degrades to the
+    bounded-loss drop and is watched by the runner's violation monitor."""
+    n = m.shape[0]
+    c = max(k // rounds, 1)
+    L = -(-n // c)  # ceil
+    pad = c * L - n
+    mp = jnp.pad(m, (0, pad), constant_values=-jnp.inf)
+    # strided classes: column j of row i is element i*c + j -> class j
+    mv = mp.reshape(L, c)
+    idx_all, val_all = [], []
+    for _ in range(rounds):
+        i = jnp.argmax(mv, axis=0)                     # (c,)
+        v = jnp.take_along_axis(mv, i[None, :], axis=0)[0]
+        rows = i * c + jnp.arange(c)
+        idx_all.append(rows)
+        val_all.append(v)
+        mv = mv.at[i, jnp.arange(c)].set(-jnp.inf)
+    idx = jnp.concatenate(idx_all)
+    # padded rows carry -inf and never rank as violators; clamp their index
+    idx = jnp.minimum(idx, n - 1)
+    return jnp.concatenate(val_all), idx
+
+
+def _tail_base_weights(pos_k, valid, g: GridSpec):
+    """Wrapped flat cell indices (27, K) and TSC weights (27, K) for K
+    explicit tail particles; invalid rows carry zero weight."""
+    d = jnp.asarray(g.cell, dtype=pos_k.dtype).reshape(3, 1)
+    u = pos_k / d
+    base = jnp.floor(u)
+    fr = u - base - 0.5
+    n = jnp.asarray([g.N1, g.N2, g.N3]).reshape(3, 1)
+    base = jnp.remainder(base.astype(jnp.int32), n)
+    wx = {s: _tsc_axis_weight(fr[0], s) for s in (-1, 0, 1)}
+    wy = {s: _tsc_axis_weight(fr[1], s) for s in (-1, 0, 1)}
+    wz = {s: _tsc_axis_weight(fr[2], s) for s in (-1, 0, 1)}
+    v = valid.astype(pos_k.dtype)
+    idx, w = [], []
+    for (ox, oy, oz) in _TSC_OFFSETS:
+        ix = jnp.remainder(base[0] + ox, g.N1)
+        iy = jnp.remainder(base[1] + oy, g.N2)
+        iz = jnp.remainder(base[2] + oz, g.N3)
+        idx.append((ix * g.N2 + iy) * g.N3 + iz)
+        w.append(wx[ox] * wy[oy] * wz[oz] * v)
+    return jnp.stack(idx), jnp.stack(w), fr, d
+
+
+def _tail_deposit(pos_k, valid, g: GridSpec):
+    """Exact 27-point TSC deposit of K tail particles: one 27K-row
+    scatter-add (cheap for K << N^3)."""
+    idx, w, _, _ = _tail_base_weights(pos_k, valid, g)
+    return jnp.zeros(g.N, pos_k.dtype).at[idx.ravel()].add(
+        w.ravel()).reshape(g.shape)
+
+
+def _tail_weight_grad(cot, pos_k, valid, g: GridSpec):
+    """(3, K) position-gradients of the tail deposit: 27K-row gather of the
+    cotangent contracted with the TSC weight derivatives."""
+    idx, _, fr, d = _tail_base_weights(pos_k, valid, g)
+    c = cot.ravel()[idx]  # (27, K)
+    wx = {s: _tsc_axis_weight(fr[0], s) for s in (-1, 0, 1)}
+    wy = {s: _tsc_axis_weight(fr[1], s) for s in (-1, 0, 1)}
+    wz = {s: _tsc_axis_weight(fr[2], s) for s in (-1, 0, 1)}
+    dwx = {s: _tsc_axis_dweight(fr[0], s, d[0, 0]) for s in (-1, 0, 1)}
+    dwy = {s: _tsc_axis_dweight(fr[1], s, d[1, 0]) for s in (-1, 0, 1)}
+    dwz = {s: _tsc_axis_dweight(fr[2], s, d[2, 0]) for s in (-1, 0, 1)}
+    v = valid.astype(cot.dtype)
+    out = [jnp.zeros(pos_k.shape[1], cot.dtype) for _ in range(3)]
+    for k, (ox, oy, oz) in enumerate(_TSC_OFFSETS):
+        out[0] += dwx[ox] * wy[oy] * wz[oz] * c[k]
+        out[1] += wx[ox] * dwy[oy] * wz[oz] * c[k]
+        out[2] += wx[ox] * wy[oy] * dwz[oz] * c[k]
+    return jnp.stack(out) * v
+
+
 def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
                           interpret: bool | None = None, pallas_bwd: bool = True,
                           bf16_fwd: bool = False, bf16_bwd: bool = False,
-                          block_dep: tuple | None = None):
+                          block_dep: tuple | None = None, tail_k: int = 0):
     """Unit-mass TSC deposit: Pallas block-kernel forward with an exact
     custom VJP — the backward is the windowed Pallas gather kernel
     (pallas_bwd=True) or the XLA weight-grad gather.
@@ -262,6 +372,15 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
 
     Requires the halo contract |base - q| <= halo - 1 in x/y (see
     forward/pallas_deposit.py); monitor pallas_deposit.deposit_violations.
+
+    tail_k > 0 enables the halo-tail split: `halo` may then be a small
+    quantile bound instead of the worst case — up to tail_k contract
+    violators per call are compacted (lax.top_k on the violation excess)
+    and deposited/differentiated exactly through the 27-point XLA tail
+    path, while their (partial, wrong) kernel contributions are zeroed via
+    the weighted deposit channel and the masked gather.  More than tail_k
+    violators lose mass exactly as in the tail_k=0 case — keep the
+    deposit_violations monitor running against tail_k.
     """
     from barcode_tpu.forward import pallas_deposit as _pd
 
@@ -269,11 +388,21 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
         interpret = jax.default_backend() != "tpu"
     if block_dep is None:
         block_dep = auto_block_dep(g, halo, block)
+    hx, hy = _pd._halo_pair(halo)
 
     @jax.custom_vjp
     def dep(pos):
-        return _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block_dep,
-                                      interpret=interpret, bf16=bf16_fwd)
+        if tail_k == 0:
+            return _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block_dep,
+                                          interpret=interpret, bf16=bf16_fwd)
+        excess = _halo_excess(pos, g, hx, hy)
+        ok = (excess <= 0.0).astype(pos.dtype)
+        rho = _pd.tsc_deposit_pallas(pos, g, halo=halo, block=block_dep,
+                                     interpret=interpret, bf16=bf16_fwd,
+                                     weights=ok)
+        vals, idx = _compact_topk(excess.ravel(), tail_k)
+        pos_k = pos.reshape(3, -1)[:, idx]
+        return rho + _tail_deposit(pos_k, vals > 0.0, g)
 
     def dep_fwd(pos):
         return dep(pos), pos
@@ -283,8 +412,17 @@ def make_tsc_deposit_fast(g: GridSpec, halo: int = 8, block: tuple = (8, 8),
             out = _pd.tsc_gather_grads_pallas(cot, pos, g, halo=halo,
                                               block=block, interpret=interpret,
                                               bf16=bf16_bwd, want_value=False)
+        else:
+            out = tsc_weight_grad_gather(cot, pos, g)
+        if tail_k == 0:
             return (out,)
-        return (tsc_weight_grad_gather(cot, pos, g),)
+        excess = _halo_excess(pos, g, hx, hy)
+        ok = (excess <= 0.0).astype(cot.dtype)
+        vals, idx = _compact_topk(excess.ravel(), tail_k)
+        pos_k = pos.reshape(3, -1)[:, idx]
+        vk = _tail_weight_grad(cot, pos_k, vals > 0.0, g)
+        outf = (out * ok[None]).reshape(3, -1).at[:, idx].add(vk)
+        return (outf.reshape((3,) + g.shape),)
 
     dep.defvjp(dep_fwd, dep_bwd)
     return dep

@@ -61,6 +61,11 @@ class ForwardConfig:
     pallas_bf16_dep: bool = False  # bf16 dots in the deposit too: ~2^-9
                                # relative rounding of the density feeds psi
                                # itself — a documented speed/accuracy knob
+    pallas_tail_k: int = 0     # halo-tail split (assign.make_tsc_deposit_fast):
+                               # > 0 lets pallas_halo be a small quantile
+                               # bound; up to this many contract violators
+                               # per deposit are handled exactly through a
+                               # compacted XLA 27-point path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,7 +110,8 @@ def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
             g, halo=fc.pallas_halo, block=tuple(fc.pallas_block),
             bf16_fwd=fc.pallas_bf16_dep, bf16_bwd=fc.pallas_bf16_grad,
             block_dep=(tuple(fc.pallas_block_dep)
-                       if fc.pallas_block_dep else None))
+                       if fc.pallas_block_dep else None),
+            tail_k=fc.pallas_tail_k)
         rho = dep(pos)
         if mk == "sph_ft":
             from barcode_tpu.grid import fourier as _f

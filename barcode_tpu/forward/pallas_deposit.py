@@ -567,11 +567,10 @@ def tsc_gather_grads_pallas(field, pos, g: GridSpec, halo: int = 4,
     return out.at[nch - 3:].divide(d)
 
 
-def displacement_bound_cells(delta, g: GridSpec, fc, gp) -> int:
-    """Measured halo contract: max |x/y cell offset| of the lag2eul particle
-    map for `delta`, + TSC reach + sampling margin.  Run once at setup on
-    the mock truth (dense; fc is forced to rsd=False, XLA deposit).  The
-    4-sigma a-priori formula oversizes the kernel halo ~2.5x (PLAN.md)."""
+def _offset_histogram(delta, g: GridSpec, fc, gp):
+    """bincount of max(|x off|, |y off|) cells of the lag2eul particle map
+    for `delta` (dense; rsd/Pallas forced off — the x/y halo contract is
+    RSD-free)."""
     import dataclasses
 
     from barcode_tpu.forward.lag2eul import lag2eul
@@ -579,7 +578,7 @@ def displacement_bound_cells(delta, g: GridSpec, fc, gp) -> int:
     fc_norsd = dataclasses.replace(fc, rsd=False, pallas_deposit=False)
 
     @jax.jit
-    def max_off(s):
+    def hist(s):
         _, pos = lag2eul(s, g, fc_norsd, gp, return_pos=True)
         d = jnp.asarray(g.cell, pos.dtype).reshape(3, 1, 1, 1)
         base = jnp.floor(pos / d)
@@ -589,9 +588,35 @@ def displacement_bound_cells(delta, g: GridSpec, fc, gp) -> int:
         off = base - q
         L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
         off = jnp.mod(off + L / 2, L) - L / 2
-        return jnp.max(jnp.abs(off[:2]))
+        m = jnp.maximum(jnp.abs(off[0]), jnp.abs(off[1]))
+        return jnp.bincount(m.astype(jnp.int32).ravel(), length=64)
 
-    return int(float(max_off(delta))) + 4  # bound + reach + margin
+    import numpy as np
+    return np.asarray(hist(delta))
+
+
+def displacement_bound_cells(delta, g: GridSpec, fc, gp) -> int:
+    """Measured halo contract: max |x/y cell offset| of the lag2eul particle
+    map for `delta`, + TSC reach + sampling margin.  Run once at setup on
+    the mock truth (dense; fc is forced to rsd=False, XLA deposit).  The
+    4-sigma a-priori formula oversizes the kernel halo ~2.5x (PLAN.md)."""
+    h = _offset_histogram(delta, g, fc, gp)
+    return int(max(k for k, c in enumerate(h) if c > 0)) + 4  # + reach/margin
+
+
+def displacement_halo_quantile(delta, g: GridSpec, fc, gp,
+                               tail_k: int) -> int:
+    """Quantile halo for the halo-tail split (assign.make_tsc_deposit_fast):
+    the smallest halo whose contract-violator count fits the tail capacity
+    with 4x headroom (drifting positions only add exactly-handled violators,
+    so no sampling slack is added and the halo stays on the kernels'
+    mult-of-4 quantization sweet spot)."""
+    h = _offset_histogram(delta, g, fc, gp)
+    viol = h[::-1].cumsum()[::-1]  # viol[k] = #particles with off >= k
+    for k in range(1, len(viol)):
+        if viol[k] <= tail_k // 4:
+            return k
+    return int(max(k for k, c in enumerate(h) if c > 0)) + 2
 
 
 # ---------------------------------------------------------------------------

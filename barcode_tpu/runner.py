@@ -80,7 +80,8 @@ class Runner:
             lambda s: lag2eul(s, self.g, fwd, self.gp)) if fwd.rsd else None
         if fwd.pallas_deposit and fwd.pallas_halo > 0:
             # halo-contract monitor (x/y only — RSD shifts z): breached
-            # particles silently lose their deposit, so surface it
+            # particles silently lose their deposit (unless the tail split
+            # handles them — then the monitor watches the tail capacity)
             from barcode_tpu.forward import pallas_deposit as _pd
             fwd_norsd = dataclasses.replace(fwd, rsd=False)
             self._violations_jit = jax.jit(lambda s: _pd.deposit_violations(
@@ -91,12 +92,17 @@ class Runner:
 
     def _resolve_auto_halo(self, truth):
         """pallas_halo <= 0 -> measure the mock truth's x/y displacement
-        bound (+ TSC reach + sampling margin), like bench.py's auto-halo."""
+        bound (+ TSC reach + sampling margin), like bench.py's auto-halo;
+        with the tail split (pallas_tail_k > 0) the quantile halo instead."""
         fwd = self.conf.model.forward
         if not (fwd.pallas_deposit and fwd.pallas_halo <= 0):
             return
         from barcode_tpu.forward import pallas_deposit as _pd
-        halo = _pd.displacement_bound_cells(truth, self.g, fwd, self.gp)
+        if fwd.pallas_tail_k > 0:
+            halo = _pd.displacement_halo_quantile(truth, self.g, fwd, self.gp,
+                                                  fwd.pallas_tail_k)
+        else:
+            halo = _pd.displacement_bound_cells(truth, self.g, fwd, self.gp)
         fwd = dataclasses.replace(fwd, pallas_halo=halo)
         self.conf = dataclasses.replace(
             self.conf, model=dataclasses.replace(self.conf.model, forward=fwd))
@@ -274,7 +280,15 @@ class Runner:
             bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)
         if fields and self._violations_jit is not None:
             nviol = int(self._violations_jit(s))
-            if nviol:
+            tail_k = self.conf.model.forward.pallas_tail_k
+            if tail_k > 0:
+                if nviol > tail_k // 2:
+                    over = " OVERFLOW: excess mass is dropped;" \
+                        if nviol > tail_k else ""
+                    print(f"WARNING: {nviol} halo-contract violators against "
+                          f"a tail capacity of {tail_k} (pallas_tail_k) —"
+                          f"{over} raise pallas_tail_k or pallas_halo")
+            elif nviol:
                 print(f"WARNING: {nviol} particles breach the Pallas deposit "
                       f"halo contract (pallas_halo={self.conf.model.forward.pallas_halo})"
                       " — their mass is dropped; increase pallas_halo")

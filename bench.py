@@ -49,6 +49,11 @@ if BLOCK_DEP is not None and len(BLOCK_DEP) == 1:
 # bf16 MXU dots in the Pallas kernels (force path / deposit path)
 BF16_GRAD = os.environ.get("BENCH_BF16_GRAD", "0") == "1"
 BF16_DEP = os.environ.get("BENCH_BF16_DEP", "0") == "1"
+# halo-tail split (assign.make_tsc_deposit_fast tail_k): kernels run at a
+# small quantile halo; violators go through the exact compacted XLA path.
+# Default ON (exact + monitored; 69.9 -> 76.9 steps/s at 128^3, 3.49 -> 4.03
+# at 256^3, sweep_r4_tail.json); BENCH_TAIL=0 for the worst-case-halo mode.
+TAIL = os.environ.get("BENCH_TAIL", "1") == "1"
 CPU_BASELINE_FILE = Path(__file__).parent / "bench_cpu_baseline.json"
 
 
@@ -68,14 +73,15 @@ def build_step(n_grid: int):
     gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.85, hubble=100.0)
     fc0 = ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True, slength=4.0)
     halo = HALO
+    tail_k = 0
     if not halo and PALLAS:
-        # auto-halo: measure the mock truth's actual x/y displacement bound
-        # once (halo=20 from the 4-sigma formula costs ~2.5x the kernel time
-        # of the measured bound ~4 cells + reach)
+        # auto-halo: measure the mock truth's actual x/y displacement
+        # distribution once (halo=20 from the 4-sigma formula costs ~2.5x
+        # the kernel time of the measured bound ~4 cells + reach)
         from barcode_tpu.forward import pallas_deposit as _pd
 
         @jax.jit
-        def _max_off():
+        def _off_hist():
             kk = jnp.sqrt(fourier.k_squared(g))
             keq = 0.02
             P = (1e4 * (kk / keq) / (1.0 + (kk / keq) ** 2) ** 1.5).at[0, 0, 0].set(0.0)
@@ -89,17 +95,34 @@ def build_step(n_grid: int):
             off = base - q
             L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
             off = jnp.mod(off + L / 2, L) - L / 2
-            return jnp.max(jnp.abs(off[:2]))
+            m = jnp.maximum(jnp.abs(off[0]), jnp.abs(off[1]))
+            return jnp.bincount(m.astype(jnp.int32).ravel(), length=32)
 
-        # contract: |base - q| <= halo - 1 covers the bound incl. the TSC
-        # reach (the window extends halo beyond the block); +2 = 1 cell of
-        # sampling slack.  Kernels round only their Mosaic-bound axis up
-        # (deposit WX, gather WY), so the other axis keeps this tight halo.
-        halo = int(float(_max_off())) + 2
+        import numpy as _np
+        hist = _np.asarray(_off_hist())
+        if TAIL:
+            # halo-tail split: smallest halo whose violator count fits the
+            # tail capacity with 4x headroom (positions drift over the run —
+            # with the tail, drift only adds exactly-handled violators, so
+            # no +cells sampling slack is needed and the halo stays on the
+            # kernels' mult-of-4 quantization sweet spot).  Distribution:
+            # probe_r4_tail.json.
+            tail_k = max(g.N // 2048, 1024)
+            viol = hist[::-1].cumsum()[::-1]  # viol[k] = #particles off >= k
+            halo = next(k for k in range(1, len(viol))
+                        if viol[k] <= tail_k // 4)
+        else:
+            # contract: |base - q| <= halo - 1 covers the bound incl. the
+            # TSC reach (the window extends halo beyond the block); +2 = 1
+            # cell of sampling slack.  Kernels round only their Mosaic-bound
+            # axis up (deposit WX, gather WY), so the other axis keeps this
+            # tight halo.
+            halo = int(max(k for k, c in enumerate(hist) if c > 0)) + 2
     halo = halo or 8
     fc = dataclasses.replace(fc0, pallas_deposit=PALLAS, pallas_halo=halo,
                              pallas_block=BLOCK, pallas_block_dep=BLOCK_DEP,
-                             pallas_bf16_grad=BF16_GRAD, pallas_bf16_dep=BF16_DEP)
+                             pallas_bf16_grad=BF16_GRAD, pallas_bf16_dep=BF16_DEP,
+                             pallas_tail_k=tail_k)
     mc = ModelConfig(likelihood=1, forward=fc)
     hc = HMCConfig(eps_fac=1e-4, eps_fac_update_type=0, mass_type=1,
                    N_eps_fac=N_EPS, N_a_eps_update=32)

@@ -337,3 +337,110 @@ def test_gather_grads_want_value_false():
     # differently when the value channel is present vs dropped
     np.testing.assert_allclose(np.asarray(grads), np.asarray(full[1:]),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Halo-tail split (round 4)
+# ---------------------------------------------------------------------------
+
+def _big_displacement_positions(key=7):
+    """Positions with a heavy displacement tail: most particles within ~1-2
+    cells, a sprinkle pushed 3-5 cells — violating a halo-3 contract."""
+    pos = particles.lagrangian_positions(G)
+    k1, k2 = jax.random.split(jax.random.key(key))
+    d1 = G.cell[0]
+    jitter = 0.8 * d1 * jax.random.normal(k1, pos.shape)
+    # ~2% violators: push them 4.2 cells in x and 3.6 in y
+    sel = (jax.random.uniform(k2, G.shape) < 0.02).astype(pos.dtype)
+    pos = pos + jitter
+    pos = pos.at[0].add(sel * 4.2 * d1)
+    pos = pos.at[1].add(sel * -3.6 * d1)
+    return particles.wrap(pos, G), sel
+
+
+def test_tail_split_deposit_matches_xla():
+    pos, sel = _big_displacement_positions()
+    n_viol = int(pd.deposit_violations(pos, G, 3))
+    assert n_viol > 0  # the tail must actually be exercised
+    dep = assign.make_tsc_deposit_fast(G, halo=3, interpret=True,
+                                       tail_k=4 * n_viol)
+    ref = np.asarray(assign.tsc_deposit(pos, G))
+    out = np.asarray(dep(pos))
+    np.testing.assert_allclose(out, ref, atol=3e-6)
+
+
+def test_tail_split_without_tail_drops_mass():
+    """Sanity: the same config WITHOUT the tail loses the violators' mass
+    (documents the behavior the split fixes)."""
+    pos, _ = _big_displacement_positions()
+    dep0 = assign.make_tsc_deposit_fast(G, halo=3, interpret=True)
+    ref = np.asarray(assign.tsc_deposit(pos, G))
+    out0 = np.asarray(dep0(pos))
+    assert np.abs(out0 - ref).max() > 1e-3
+
+
+def test_tail_split_vjp_matches_autodiff():
+    pos, _ = _big_displacement_positions(key=9)
+    n_viol = int(pd.deposit_violations(pos, G, 3))
+    assert n_viol > 0
+    cot_seed = jax.random.normal(jax.random.key(4), G.shape)
+    dep = assign.make_tsc_deposit_fast(G, halo=3, interpret=True,
+                                       tail_k=4 * n_viol)
+
+    def loss_ref(p):
+        return jnp.sum(assign.tsc_deposit(p, G) * cot_seed)
+
+    def loss_fast(p):
+        return jnp.sum(dep(p) * cot_seed)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(pos))
+    g_fast = np.asarray(jax.grad(loss_fast)(pos))
+    np.testing.assert_allclose(g_fast, g_ref, atol=3e-5 * np.abs(g_ref).max())
+
+
+def test_tail_split_overflow_bounded_loss():
+    """With tail_k smaller than the violator count, the worst offenders are
+    handled and each unhandled violator loses at most its unit mass (its
+    kernel contribution is masked to zero; no corruption, no double
+    counting)."""
+    pos, _ = _big_displacement_positions(key=11)
+    n_viol = int(pd.deposit_violations(pos, G, 3))
+    assert n_viol >= 4
+    k = n_viol // 2
+    dep = assign.make_tsc_deposit_fast(G, halo=3, interpret=True, tail_k=k)
+    ref = np.asarray(assign.tsc_deposit(pos, G))
+    out = np.asarray(dep(pos))
+    # each unhandled violator loses at most its unit mass; the compaction
+    # handles at least one violator (strictly better than tail_k=0 would
+    # allow in L1 for this config), and nothing is double counted
+    l1 = np.abs(out - ref).sum()
+    assert 0 < l1 <= n_viol - 1 + 1e-3
+    assert np.isfinite(out).all()
+
+
+def test_tail_split_lag2eul_flag():
+    """pallas_tail_k flows through ForwardConfig/lag2eul and reproduces the
+    XLA path end-to-end."""
+    P = jnp.full(G.rshape, 200.0).at[0, 0, 0].set(0.0)
+    delta = rf.grf(jax.random.key(12), G, P)
+    fc_ref = ForwardConfig(sfmodel=1, masskernel="tsc")
+    fc = ForwardConfig(sfmodel=1, masskernel="tsc", pallas_deposit=True,
+                       pallas_halo=3, pallas_tail_k=512)
+    ref = np.asarray(lag2eul(delta, G, fc_ref, GP))
+    out = np.asarray(lag2eul(delta, G, fc, GP))
+    np.testing.assert_allclose(out, ref, atol=3e-6)
+
+
+def test_compact_topk_finds_all_violators():
+    """_compact_topk must recover every positive entry when violators per
+    strided class stay within the round budget (the tail split's exactness
+    condition), matching lax.top_k's selection."""
+    key = jax.random.key(21)
+    n = 40000
+    m = jnp.full((n,), -2.0)
+    # 150 scattered violators with distinct positive values
+    idx = jax.random.choice(key, n, (150,), replace=False)
+    m = m.at[idx].set(1.0 + jnp.arange(150, dtype=jnp.float32) / 100.0)
+    vals, sel = assign._compact_topk(m, 1024)
+    got = set(np.asarray(sel)[np.asarray(vals) > 0].tolist())
+    assert got == set(np.asarray(idx).tolist())
