@@ -20,7 +20,8 @@ import bench
 
 def run(tag, **overrides):
     defaults = dict(PALLAS=True, HALO=0, BLOCK=(8, 8), BLOCK_DEP=None,
-                    BF16_GRAD=False, BF16_DEP=False)
+                    BF16_GRAD=False, BF16_DEP=False,
+                    TAIL=False)  # recorded pre-tail-split (worst-case halo)
     defaults.update(overrides)
     for k, v in defaults.items():
         setattr(bench, k, v)

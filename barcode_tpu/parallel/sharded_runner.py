@@ -282,11 +282,13 @@ class ShardedRunner:
 
     def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
             log: bool = True, progress_every: int = 10,
-            rhat_stop: float | None = None):
+            rhat_stop: float | None = None, dashboard: bool | None = None):
         """Sample until every chain holds >= n_samples accepted samples,
         with the same loop surface as runner.Runner.run: attempt batches on
         device, metrics/psi traces, outnum/outnum_ps dump cadences, itmax
-        stall warning, optional cross-chain R-hat stop."""
+        stall warning, optional cross-chain R-hat stop, live ANSI dashboard
+        (None = auto-enable on a TTY)."""
+        from barcode_tpu.utils.dashboard import Dashboard
         from barcode_tpu.utils.metrics import SamplerMetrics, split_rhat
 
         conf = self.conf
@@ -297,6 +299,8 @@ class ShardedRunner:
         if getattr(self, "_psi_trace", None) is None:
             self._psi_trace = []
             self._trace_t = []  # per-row wall stamps (see Runner.diagnostics)
+        dash = Dashboard(title=f"barcode_tpu sharded  N={self.g.N1}  "
+                         f"mesh={dict(self.mesh.shape)}", force=dashboard)
         rhat = float("inf")
         while attempts < max_attempts:
             if (self.dir / "fastexit").exists():
@@ -336,7 +340,14 @@ class ShardedRunner:
                                   "an accepted sample — continuing "
                                   "(security_recursion semantics)")
                         self._stall_attempts = 0
-            if log and attempts % (self.attempt_batch * progress_every) == 0:
+            if dash.enabled:
+                from types import SimpleNamespace
+                dash.update(stats, SimpleNamespace(
+                    eps_fac=self.state["eps_fac"],
+                    accepted=self.state["accepted"]),
+                    self.metrics.summary(),
+                    extra=f"rhat={rhat:.3f}" if np.isfinite(rhat) else "")
+            elif log and attempts % (self.attempt_batch * progress_every) == 0:
                 print(self.metrics.status_line(
                     f"acc_min={min_acc} eps_fac="
                     f"{float(np.asarray(self.state['eps_fac']).mean()):.4g}"))

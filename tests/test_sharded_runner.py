@@ -81,3 +81,14 @@ def test_sharded_runner_fastexit(conf, mesh2, tmp_path):
     r = ShardedRunner(conf, mesh=mesh2, out_dir=tmp_path, halo=2).setup()
     state = r.run(n_samples=5, max_attempts=50)
     assert int(np.asarray(state["accepted"]).max()) == 0
+
+
+def test_sharded_runner_dashboard(conf, mesh2, tmp_path, capsys):
+    """dashboard=True renders the ANSI candidate table from the sharded
+    loop (full Runner parity for the interactive surface)."""
+    r = ShardedRunner(conf, mesh=mesh2, out_dir=tmp_path / "d",
+                      halo=2).setup()
+    r.run(n_samples=1, max_attempts=16, log=False, dashboard=True)
+    out = capsys.readouterr().out
+    assert "barcode_tpu sharded" in out
+    assert "dH" in out and "Neps" in out
