@@ -444,3 +444,22 @@ def test_compact_topk_finds_all_violators():
     vals, sel = assign._compact_topk(m, 1024)
     got = set(np.asarray(sel)[np.asarray(vals) > 0].tolist())
     assert got == set(np.asarray(idx).tolist())
+
+
+def test_displacement_halo_quantile():
+    """The quantile halo picks the smallest contract whose violators fit the
+    tail capacity with 4x headroom, and never exceeds the bound+2 of the
+    worst-case policy."""
+    P = jnp.full(G.rshape, 200.0).at[0, 0, 0].set(0.0)
+    delta = rf.grf(jax.random.key(13), G, P)
+    fc = ForwardConfig(sfmodel=1, masskernel="tsc")
+    hq = pd.displacement_halo_quantile(delta, G, fc, GP, tail_k=4 * G.N)
+    hb = pd.displacement_bound_cells(delta, G, fc, GP)
+    assert 1 <= hq <= hb
+    # capacity large enough for everything -> the smallest halo wins
+    assert hq <= pd.displacement_halo_quantile(delta, G, fc, GP, tail_k=64)
+    # the promised contract holds: violators at hq fit the 4x headroom
+    from barcode_tpu.forward import particles as _p
+    psi = lpt.zeldovich_psi(delta, G, 1.0)
+    pos = _p.displace(psi, G)
+    assert int(pd.deposit_violations(pos, G, hq)) <= G.N
