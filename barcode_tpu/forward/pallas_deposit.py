@@ -138,6 +138,10 @@ DEP_VMEM_BUDGET = 10 << 20
 # streamed-window mode: particle-window rows per grid step (sublane-aligned;
 # WX is always a multiple of 8 by _round_halo, so RS=8 divides it)
 STREAM_RS = 8
+# experimental: build the z one-hots as ONE center compare + two sublane
+# rolls (pltpu.roll absorbs the periodic wrap) instead of 3 masked passes
+# with explicit wrap arithmetic — A/B flag for the hardware probe
+Z_ROLL = False
 
 
 def deposit_working_set_bytes(g: GridSpec, halo, block_dep: tuple,
@@ -206,13 +210,19 @@ def _deposit_rows(p_ref, n_rows, x0, y0, BX, BY, N3, TS, n_sub, weighted,
         AT = (X.reshape(BX, 1, TS) * Y.reshape(1, BY, TS)).reshape(nxy, TS)
 
         wm = p_ref[6, r, sl].reshape(TS) if weighted else 1.0
-        BT = jnp.zeros((N3, TS), jnp.float32)
-        for oz in (-1, 0, 1):
-            # per-particle mass folds into the z one-hot (one multiply)
-            w = wm * _tsc_w(fz, oz)
-            t = tzi + oz
-            t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
-            BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
+        if Z_ROLL:
+            H = jnp.where(z_ids == tzi[None, :], 1.0, 0.0)
+            BT = (H * (wm * _tsc_w(fz, 0))[None, :]
+                  + pltpu.roll(H, N3 - 1, 0) * (wm * _tsc_w(fz, -1))[None, :]
+                  + pltpu.roll(H, 1, 0) * (wm * _tsc_w(fz, 1))[None, :])
+        else:
+            BT = jnp.zeros((N3, TS), jnp.float32)
+            for oz in (-1, 0, 1):
+                # per-particle mass folds into the z one-hot (one multiply)
+                w = wm * _tsc_w(fz, oz)
+                t = tzi + oz
+                t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
+                BT = BT + jnp.where(z_ids == t[None, :], w[None, :], 0.0)
 
         # acc[xy, z] += sum_t AT[xy, t] BT[z, t]  (the Q K^T MXU pattern)
         # bf16 operands run the MXU at full rate (~4x fp32); rounding is
@@ -364,14 +374,25 @@ def _make_gather_kernel_zfirst(BX, BY, N3, WX, WY, halo_x, halo_y, TS,
                 Y_val = Y_val + jnp.where(hy, _tsc_w(fy, o)[None, :], 0.0)
                 Y_dy = Y_dy + jnp.where(hy, _tsc_dw(fy, o)[None, :], 0.0)
 
-            B_val = jnp.zeros((N3, TS), jnp.float32)
-            B_dz = jnp.zeros((N3, TS), jnp.float32)
-            for oz in (-1, 0, 1):
-                t = tzi + oz
-                t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
-                hit = z_ids == t[None, :]
-                B_val = B_val + jnp.where(hit, _tsc_w(fz, oz)[None, :], 0.0)
-                B_dz = B_dz + jnp.where(hit, _tsc_dw(fz, oz)[None, :], 0.0)
+            if Z_ROLL:
+                H = jnp.where(z_ids == tzi[None, :], 1.0, 0.0)
+                Hm = pltpu.roll(H, N3 - 1, 0)
+                Hp = pltpu.roll(H, 1, 0)
+                B_val = (H * _tsc_w(fz, 0)[None, :]
+                         + Hm * _tsc_w(fz, -1)[None, :]
+                         + Hp * _tsc_w(fz, 1)[None, :])
+                B_dz = (H * _tsc_dw(fz, 0)[None, :]
+                        + Hm * _tsc_dw(fz, -1)[None, :]
+                        + Hp * _tsc_dw(fz, 1)[None, :])
+            else:
+                B_val = jnp.zeros((N3, TS), jnp.float32)
+                B_dz = jnp.zeros((N3, TS), jnp.float32)
+                for oz in (-1, 0, 1):
+                    t = tzi + oz
+                    t = jnp.where(t < 0, t + N3, jnp.where(t >= N3, t - N3, t))
+                    hit = z_ids == t[None, :]
+                    B_val = B_val + jnp.where(hit, _tsc_w(fz, oz)[None, :], 0.0)
+                    B_dz = B_dz + jnp.where(hit, _tsc_dw(fz, oz)[None, :], 0.0)
 
             # F[xy, t] = sum_z win[xy, z] B[z, t] — contraction dim N3
             dot = lambda B: jax.lax.dot_general(
