@@ -463,3 +463,23 @@ def test_displacement_halo_quantile():
     psi = lpt.zeldovich_psi(delta, G, 1.0)
     pos = _p.displace(psi, G)
     assert int(pd.deposit_violations(pos, G, hq)) <= G.N
+
+
+def test_zroll_variant_parity():
+    """The roll-built z one-hot variant (Z_ROLL — hardware-measured SLOWER,
+    probe_r4_zroll.json, kept as a reproducible A/B) matches the masked-pass
+    default bit-for-bit in interpret mode."""
+    pos, _ = displaced_positions(key=2)
+    field = jax.random.normal(jax.random.key(3), G.shape)
+    try:
+        pd.Z_ROLL = True
+        d1 = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True))
+        g1 = np.asarray(pd.tsc_gather_grads_pallas(
+            field, pos, G, halo=4, interpret=True, want_value=False))
+    finally:
+        pd.Z_ROLL = False
+    d0 = np.asarray(pd.tsc_deposit_pallas(pos, G, halo=4, interpret=True))
+    g0 = np.asarray(pd.tsc_gather_grads_pallas(
+        field, pos, G, halo=4, interpret=True, want_value=False))
+    np.testing.assert_allclose(d1, d0, atol=1e-6)
+    np.testing.assert_allclose(g1, g0, atol=1e-7)
