@@ -37,7 +37,8 @@ conf = RunConfig(
         likelihood=1,
         forward=ForwardConfig(sfmodel=3, masskernel="sph_ft", rsd=True,
                               slength=4.0, pallas_deposit=True,
-                              pallas_halo=0)),
+                              pallas_halo=0,  # auto quantile (tail on)
+                              pallas_tail_k=1024)),
     hmc=HMCConfig(eps_fac_update_type=3, mass_type=1, N_a_eps_update=64),
     mock=MockConfig(random_test=True, sigma_min=1.0),
     n_chains=4,
@@ -80,8 +81,9 @@ r.checkpoint()  # allow future runs to resume/extend this artifact
 d = r.diagnostics()
 summary = {
     "config": "128^3 ALPT+RSD/Gaussian (BASELINE config 3), 4 chains, "
-              "WMAP7 P(k), Pallas deposit (auto halo)",
+              "WMAP7 P(k), Pallas deposit (auto quantile halo + tail split)",
     "pallas_halo": r.conf.model.forward.pallas_halo,
+    "pallas_tail_k": r.conf.model.forward.pallas_tail_k,
     "posterior_mean_truth_corr": corr,
     "sample_spectrum_over_truth_bins_1_39_mean": float(ratio.mean()),
     "rhat_psi": d.get("rhat_psi"),
