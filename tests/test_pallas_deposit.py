@@ -483,3 +483,21 @@ def test_zroll_variant_parity():
         field, pos, G, halo=4, interpret=True, want_value=False))
     np.testing.assert_allclose(d1, d0, atol=1e-6)
     np.testing.assert_allclose(g1, g0, atol=1e-7)
+
+
+def test_tail_split_vmap_batching():
+    """The tail split under vmap (the sampler's chain layout): batched ==
+    per-chain, forward and VJP."""
+    p0, _ = _big_displacement_positions(key=30)
+    p1, _ = _big_displacement_positions(key=31)
+    poss = jnp.stack([p0, p1])
+    n_viol = max(int(pd.deposit_violations(p, G, 3)) for p in (p0, p1))
+    dep = assign.make_tsc_deposit_fast(G, halo=3, interpret=True,
+                                       tail_k=4 * n_viol)
+    batched = jax.jit(jax.vmap(dep))(poss)
+    for c in range(2):
+        np.testing.assert_allclose(np.asarray(batched[c]),
+                                   np.asarray(dep(poss[c])), atol=1e-5)
+    gb = jax.jit(jax.vmap(jax.grad(lambda p: dep(p).sum())))(poss)
+    g0 = jax.grad(lambda p: dep(p).sum())(p0)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(g0), atol=1e-5)
