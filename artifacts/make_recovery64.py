@@ -37,7 +37,11 @@ conf = RunConfig(
     model=ModelConfig(
         likelihood=1,
         forward=ForwardConfig(sfmodel=2, masskernel="sph_ft",
-                              pallas_deposit=True, pallas_halo=0)),
+                              pallas_deposit=True, pallas_halo=0,
+                              # round 4: auto QUANTILE halo + exact tail —
+                              # the converged run doubles as statistical
+                              # validation of the tail-split default
+                              pallas_tail_k=1024)),
     hmc=HMCConfig(eps_fac_update_type=3, mass_type=1, N_a_eps_update=64),
     mock=MockConfig(random_test=True, sigma_min=1.0),
     n_chains=8,
