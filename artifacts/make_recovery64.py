@@ -85,8 +85,9 @@ r.checkpoint()  # allow future runs to resume/extend this artifact
 d = r.diagnostics()
 summary = {
     "config": "64^3 2LPT/Gaussian (BASELINE config 2), 8 chains, WMAP7 P(k), "
-              "Pallas deposit (auto halo)",
+              "Pallas deposit (auto quantile halo + tail split)",
     "pallas_halo": r.conf.model.forward.pallas_halo,
+    "pallas_tail_k": r.conf.model.forward.pallas_tail_k,
     "posterior_mean_truth_corr": corr,
     "sample_spectrum_over_truth_bins_1_25_mean": float(ratio.mean()),
     "rhat_psi": d.get("rhat_psi"),
