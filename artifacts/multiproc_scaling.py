@@ -1,0 +1,166 @@
+"""Measure multi-process samples/s scaling (BASELINE.json north star #2) —
+a CPU proxy with REAL jax.distributed processes (VERDICT r4 next-step #4).
+
+Rig: N processes x 1 XLA CPU device x CHAINS_PER_PROC chains, each process
+pinned to its own physical core with taskset (2-core box: contention would
+otherwise masquerade as comm overhead).  The chain states are sharded
+P('chains') over the global mesh and the sampler runs with POOLED
+adaptation, so every attempt batch carries the one cross-process collective
+production multi-host runs have (the controller's pooled acceptance window,
+SURVEY.md §5.8); everything else is independent per chain — exactly the
+production multi-host layout (chains sharded across hosts, no per-step
+grid collectives).
+
+Efficiency = total chain-attempts/s at N=2 / (2 x chain-attempts/s at N=1),
+both pinned to one core each.  Writes artifacts/multiproc_scaling.json.
+
+Run: python artifacts/multiproc_scaling.py
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+OUT = Path(__file__).parent / "multiproc_scaling.json"
+
+N_GRID = 16
+CHAINS_PER_PROC = 2
+WARMUP_BATCHES = 2
+TIMED_BATCHES = 24
+ATTEMPTS_PER_BATCH = 16
+
+WORKER = r"""
+import json, os, sys, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+n_proc, pid, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+n_grid = int(sys.argv[4]); cpp = int(sys.argv[5])
+warm = int(sys.argv[6]); timed = int(sys.argv[7]); apb = int(sys.argv[8])
+
+if n_proc > 1:
+    from barcode_tpu.parallel.distributed import initialize_multihost
+    initialize_multihost(coord, n_proc, pid)
+    assert jax.process_count() == n_proc
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from barcode_tpu.config import HMCConfig
+from barcode_tpu.grid.spec import GridSpec
+from barcode_tpu import random_fields
+from barcode_tpu.forward.lag2eul import ForwardConfig, GrowthParams, lag2eul
+from barcode_tpu.model.likelihoods import ObsData
+from barcode_tpu.model.posterior import ModelConfig
+from barcode_tpu.hmc import mass as mass_mod, sampler
+
+g = GridSpec.cube(n_grid, float(n_grid))
+gp = GrowthParams(D1=1.0, D2=-3.0 / 7.0, ascale=1.0, cpecvel=52.0,
+                  hubble=100.0)
+fc = ForwardConfig(sfmodel=1, masskernel="tsc")
+mc = ModelConfig(likelihood=1, forward=fc)
+hc = HMCConfig(eps_fac=0.3, eps_fac_update_type=2, mass_type=1,
+               N_a_eps_update=8, pool_adaptation=True)
+
+n_chains = n_proc * cpp
+mesh = Mesh(np.asarray(jax.devices()), axis_names=("chains",))
+rep = NamedSharding(mesh, P())
+shd = NamedSharding(mesh, P("chains"))
+
+
+@jax.jit
+def setup():
+    P_ = jnp.full(g.rshape, 5.0).at[0, 0, 0].set(0.0)
+    truth = random_fields.grf(jax.random.key(0), g, P_)
+    d_eul = lag2eul(truth, g, fc, gp)
+    obs = ObsData(nobs=1.0 + d_eul, window=jnp.ones(g.shape),
+                  noise=jnp.ones(g.shape), power=P_)
+    mass = mass_mod.compute_mass(g, hc.mass_type, P_)
+    init = sampler.make_init(g, mc, gp, hc)
+    keys = jax.random.split(jax.random.key(2), n_chains)
+    states = jax.vmap(lambda k, s: init(k, truth * s, obs))(
+        keys, 0.1 * jnp.arange(n_chains, dtype=jnp.float32))
+    return states, obs, mass
+
+
+states, obs, mass = jax.jit(setup, out_shardings=(shd, rep, rep))()
+run = sampler.make_sampler(g, mc, gp, hc, n_attempts_per_call=apb)
+
+for _ in range(warm):
+    states, stats = run(states, obs, mass)
+jax.block_until_ready(states.psi)
+# sync processes at the timer edge: a global reduction barrier
+jax.jit(lambda x: x.sum(), out_shardings=rep)(states.psi).block_until_ready()
+t0 = time.time()
+for _ in range(timed):
+    states, stats = run(states, obs, mass)
+jax.jit(lambda x: x.sum(), out_shardings=rep)(states.psi).block_until_ready()
+wall = time.time() - t0
+
+print(json.dumps({"pid": pid, "wall_s": wall,
+                  "chain_attempts": timed * apb * n_chains}))
+"""
+
+
+def run_config(n_proc: int):
+    worker = Path("/tmp/mp_scaling_worker.py")
+    worker.write_text(WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord = f"127.0.0.1:{s.getsockname()[1]}"
+    env = dict(os.environ, REPO_ROOT=str(REPO))
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for i in range(n_proc):
+        cmd = ["taskset", "-c", str(i), sys.executable, str(worker),
+               str(n_proc), str(i), coord, str(N_GRID),
+               str(CHAINS_PER_PROC), str(WARMUP_BATCHES),
+               str(TIMED_BATCHES), str(ATTEMPTS_PER_BATCH)]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True,
+                                      env=env))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    # every process times the same globally-synchronized window; report the
+    # max wall (the straggler defines throughput)
+    wall = max(o["wall_s"] for o in outs)
+    total_attempts = TIMED_BATCHES * ATTEMPTS_PER_BATCH * n_proc * CHAINS_PER_PROC
+    return {"n_proc": n_proc, "wall_s": wall,
+            "chain_attempts_total": total_attempts,
+            "chain_attempts_per_s": total_attempts / wall}
+
+
+def main():
+    r1 = run_config(1)
+    print("1 process:", json.dumps(r1), flush=True)
+    r2 = run_config(2)
+    print("2 processes:", json.dumps(r2), flush=True)
+    eff = r2["chain_attempts_per_s"] / (2.0 * r1["chain_attempts_per_s"])
+    result = {
+        "config": f"{N_GRID}^3 ZA/Gaussian, {CHAINS_PER_PROC} chains/process,"
+                  " 1 XLA CPU device/process, 1 pinned core/process, pooled"
+                  " adaptation (one cross-process collective per attempt)",
+        "one_process": r1,
+        "two_processes": r2,
+        "scaling_efficiency_1_to_2": eff,
+        "north_star": ">= 0.80 (BASELINE.json #2)",
+        "note": "CPU proxy with real jax.distributed processes; chains have"
+                " no per-step grid collectives, so the measured overhead is"
+                " the pooled-adaptation all-reduce + dispatch skew",
+    }
+    OUT.write_text(json.dumps(result, indent=1))
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

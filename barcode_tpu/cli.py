@@ -72,6 +72,14 @@ def main(argv=None):
         print(f"note: {args.input_par} not found, using built-in defaults")
         conf = RunConfig()
 
+    import contextlib
+    import json as _json
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        prof = jax.profiler.trace(args.profile)
+
     if args.sharded:
         import dataclasses
 
@@ -79,12 +87,23 @@ def main(argv=None):
         if args.chains:
             conf = dataclasses.replace(conf, n_chains=args.chains)
         runner = ShardedRunner(conf, out_dir=args.out, halo=args.halo).setup()
-        if args.resume or args.restart_iteration is not None:
+        if args.restart_iteration is not None and \
+                not (runner.dir / "checkpoint_sharded.npz").exists():
+            # reference restart semantics (main.cc:121-131): resume from the
+            # dumped deltaLAG_<k> + performance-log replay
+            print(f"no checkpoint_sharded.npz — resuming from "
+                  f"deltaLAG_{args.restart_iteration} + performance-log replay")
+            runner.restore_from_dumps(args.restart_iteration)
+        elif args.resume or args.restart_iteration is not None:
             runner.restore()
         try:
-            runner.run(n_samples=args.samples)
+            with prof:
+                runner.run(n_samples=args.samples, rhat_stop=args.rhat_stop,
+                           dashboard=args.dashboard,
+                           nan_check=args.nan_check)
         finally:
             runner.checkpoint()
+            print(_json.dumps(runner.diagnostics(), default=float))
         return 0
 
     runner = Runner(conf, out_dir=args.out).setup(n_chains=args.chains)
@@ -97,18 +116,12 @@ def main(argv=None):
         runner.restore_from_dumps(args.restart_iteration)
     elif args.resume or args.restart_iteration is not None:
         runner.restore()
-    import contextlib
-    prof = contextlib.nullcontext()
-    if args.profile:
-        import jax
-        prof = jax.profiler.trace(args.profile)
     try:
         with prof:
             runner.run(n_samples=args.samples, rhat_stop=args.rhat_stop,
                        dashboard=args.dashboard, nan_check=args.nan_check)
     finally:
         runner.checkpoint()
-        import json as _json
         print(_json.dumps(runner.diagnostics(), default=float))
     return 0
 

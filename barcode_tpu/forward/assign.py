@@ -281,7 +281,7 @@ def _compact_topk(m, k: int, rounds: int = 12):
     the bounded-loss drop and is watched by the runner's violation
     monitor."""
     n = m.shape[0]
-    c = max(k // rounds, 1)
+    c = max(-(-k // rounds), 1)  # ceil: capacity c*rounds >= k, never less
     L = -(-n // c)  # ceil
     pad = c * L - n
     mp = jnp.pad(m, (0, pad), constant_values=-jnp.inf)
@@ -349,6 +349,92 @@ def _tail_weight_grad(cot, pos_k, valid, g: GridSpec):
         out[0] += dwx[ox] * wy[oy] * wz[oz] * c[k]
         out[1] += wx[ox] * dwy[oy] * wz[oz] * c[k]
         out[2] += wx[ox] * wy[oy] * dwz[oz] * c[k]
+    return jnp.stack(out) * v
+
+
+def _slab_halo_excess(pos, g: GridSpec, n1_loc: int, devf, h: int):
+    """Per-particle violation excess of the SLAB kernel halo contract
+    |off| <= h - 1 cells (x offset relative to the particle's own local
+    row, y global min-image) — the slab twin of _halo_excess, matching
+    pallas_deposit._slab_channels' coordinate convention."""
+    d = jnp.asarray(g.cell, dtype=pos.dtype).reshape(3, 1, 1, 1)
+    base = jnp.floor(pos / d)
+    qx = jnp.arange(n1_loc, dtype=pos.dtype).reshape(n1_loc, 1, 1)
+    qy = jnp.arange(g.N2, dtype=pos.dtype).reshape(1, g.N2, 1)
+    offx = jnp.mod(base[0] - (devf * n1_loc + qx) + g.N1 / 2.0,
+                   g.N1) - g.N1 / 2.0
+    offy = jnp.mod(base[1] - qy + g.N2 / 2.0, g.N2) - g.N2 / 2.0
+    return jnp.maximum(jnp.abs(offx) - (h - 1), jnp.abs(offy) - (h - 1))
+
+
+def _tail_base_weights_slab(pos_k, row_k, valid, g: GridSpec, n1_loc: int,
+                            h_x: int, slab_startf):
+    """Extended-buffer flat indices (27, K) + TSC weights for K slab tail
+    particles.  x follows the slab kernels' unwrapped convention: ext row =
+    own local row + min-image offset + h_x (no x wrap — the worst-case
+    exchange margin h_x covers every physical displacement; rows that still
+    fall outside are zero-weighted).  y/z wrap periodically as in the
+    non-extended axes of the ext buffer."""
+    n1_ext = n1_loc + 2 * h_x
+    d = jnp.asarray(g.cell, dtype=pos_k.dtype).reshape(3, 1)
+    u = pos_k / d
+    base = jnp.floor(u)
+    fr = u - base - 0.5
+    offx = jnp.mod(base[0] - (slab_startf + row_k) + g.N1 / 2.0,
+                   g.N1) - g.N1 / 2.0
+    bx = (row_k + offx).astype(jnp.int32) + h_x
+    by = jnp.remainder(base[1].astype(jnp.int32), g.N2)
+    bz = jnp.remainder(base[2].astype(jnp.int32), g.N3)
+    wx = {s: _tsc_axis_weight(fr[0], s) for s in (-1, 0, 1)}
+    wy = {s: _tsc_axis_weight(fr[1], s) for s in (-1, 0, 1)}
+    wz = {s: _tsc_axis_weight(fr[2], s) for s in (-1, 0, 1)}
+    v = valid.astype(pos_k.dtype)
+    idx, w = [], []
+    for (ox, oy, oz) in _TSC_OFFSETS:
+        ix = bx + ox
+        in_range = ((ix >= 0) & (ix < n1_ext)).astype(pos_k.dtype)
+        ix_c = jnp.clip(ix, 0, n1_ext - 1)
+        iy = jnp.remainder(by + oy, g.N2)
+        iz = jnp.remainder(bz + oz, g.N3)
+        idx.append((ix_c * g.N2 + iy) * g.N3 + iz)
+        w.append(wx[ox] * wy[oy] * wz[oz] * v * in_range)
+    return jnp.stack(idx), jnp.stack(w), fr, d, bx
+
+
+def _tail_deposit_slab(pos_k, row_k, valid, g: GridSpec, n1_loc: int,
+                       h_x: int, slab_startf):
+    """Exact 27-point TSC deposit of K slab tail particles into the
+    (n1_loc + 2*h_x, N2, N3) extended buffer."""
+    idx, w, _, _, _ = _tail_base_weights_slab(pos_k, row_k, valid, g,
+                                              n1_loc, h_x, slab_startf)
+    n1_ext = n1_loc + 2 * h_x
+    return jnp.zeros(n1_ext * g.N2 * g.N3, pos_k.dtype).at[idx.ravel()].add(
+        w.ravel()).reshape(n1_ext, g.N2, g.N3)
+
+
+def _tail_weight_grad_slab(cot_ext, pos_k, row_k, valid, g: GridSpec,
+                           n1_loc: int, h_x: int, slab_startf):
+    """(3, K) position-gradients of the slab tail deposit against the
+    extended-buffer cotangent."""
+    idx, _, fr, d, bx = _tail_base_weights_slab(pos_k, row_k, valid, g,
+                                                n1_loc, h_x, slab_startf)
+    c = cot_ext.ravel()[idx]  # (27, K)
+    wx = {s: _tsc_axis_weight(fr[0], s) for s in (-1, 0, 1)}
+    wy = {s: _tsc_axis_weight(fr[1], s) for s in (-1, 0, 1)}
+    wz = {s: _tsc_axis_weight(fr[2], s) for s in (-1, 0, 1)}
+    dwx = {s: _tsc_axis_dweight(fr[0], s, d[0, 0]) for s in (-1, 0, 1)}
+    dwy = {s: _tsc_axis_dweight(fr[1], s, d[1, 0]) for s in (-1, 0, 1)}
+    dwz = {s: _tsc_axis_dweight(fr[2], s, d[2, 0]) for s in (-1, 0, 1)}
+    # x-range mask per offset (matches the zero-weighted deposit rows)
+    n1_ext = n1_loc + 2 * h_x
+    v = valid.astype(cot_ext.dtype)
+    out = [jnp.zeros(pos_k.shape[1], cot_ext.dtype) for _ in range(3)]
+    for k, (ox, oy, oz) in enumerate(_TSC_OFFSETS):
+        in_r = ((bx + ox >= 0) & (bx + ox < n1_ext)).astype(cot_ext.dtype)
+        ck = c[k] * in_r
+        out[0] += dwx[ox] * wy[oy] * wz[oz] * ck
+        out[1] += wx[ox] * dwy[oy] * wz[oz] * ck
+        out[2] += wx[ox] * wy[oy] * dwz[oz] * ck
     return jnp.stack(out) * v
 
 

@@ -85,14 +85,17 @@ def kernel_h(fc: ForwardConfig, g: GridSpec) -> float:
 
 
 def lag2eul(delta_lag, g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
-            return_pos: bool = False, transfer=None):
+            return_pos: bool = False, transfer=None, delta_C=None):
     """delta_lag -> (delta_eul [, pos]) with unit-mass regular-grid particles.
 
     `transfer` = optional (t_zeld, t_2lpt) rfft-layout FS kernels applied to
     the linear field / 2LPT source on the non-Zel'dovich path — the TRANSF
-    build's auxtransfzeld/auxtransf2lpt convolutions (Lag2Eul.cc:174-191)."""
+    build's auxtransfzeld/auxtransf2lpt convolutions (Lag2Eul.cc:174-191).
+    `delta_C` = optional precomputed rfft3(delta_lag), shared with the prior
+    energy by model/posterior.make_psi (round-5 FFT dedupe)."""
     psi = lpt.lpt_psi(delta_lag, g, fc.sfmodel, gp.D1, gp.D2, fc.slength,
-                      deriv_scheme=fc.deriv_scheme, transfer=transfer)
+                      deriv_scheme=fc.deriv_scheme, transfer=transfer,
+                      delta_C=delta_C)
     pos = particles.displace(psi, g)
     if fc.rsd:
         # v = c_pecvel * Psi (Zel'dovich-only velocities, Lag2Eul.cc:375-381)

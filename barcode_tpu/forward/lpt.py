@@ -51,14 +51,17 @@ def _psi_from_div_C(div_C, g: GridSpec):
     return fourier.irfft3(jnp.stack([kx * base, ky * base, kz * base]), g)
 
 
-def zeldovich_psi(delta1, g: GridSpec, D1: float):
+def zeldovich_psi(delta1, g: GridSpec, D1: float, delta_C=None):
     """Psi with div Psi = -D1 delta1.
 
     Parity: Lag2Eul_zeldovich + theta2vel
     (/root/reference/barlib/src/Lag2Eul.cc:69-132, EqSolvers.cc:168-277).
-    Returns (3, N1, N2, N3).
+    Returns (3, N1, N2, N3).  `delta_C` = optional precomputed rfft3(delta1)
+    (round-5 FFT dedupe: the prior energy needs the same spectrum).
     """
-    return _psi_from_div_C(fourier.rfft3(-D1 * delta1), g)
+    if delta_C is None:
+        delta_C = fourier.rfft3(delta1)
+    return _psi_from_div_C(-D1 * delta_C, g)
 
 
 def _second_order_source(delta_C, g: GridSpec, deriv_scheme: str = "fft"):
@@ -95,32 +98,41 @@ def _second_order_source(delta_C, g: GridSpec, deriv_scheme: str = "fft"):
     return pxx * pyy - pxy * pxy + pxx * pzz - pxz * pxz + pyy * pzz - pyz * pyz
 
 
-def _apply_transf(x, t_rfft, g: GridSpec):
-    """FS multiply by a transfer kernel grid (convcompb,
-    /root/reference/barlib/src/convolution.cpp:380-403)."""
-    if t_rfft is None:
-        return x
-    return fourier.irfft3(t_rfft * fourier.rfft3(x), g)
+def two_lpt_div_C(delta1, g: GridSpec, D1: float, D2: float,
+                  deriv_scheme: str = "fft", transfer=None, delta_C=None):
+    """Half-complex div Psi_2LPT = -D1 delta1_C + D2 rfft(m2v) (D2 < 0).
 
-
-def two_lpt_div_psi(delta1, g: GridSpec, D1: float, D2: float,
-                    deriv_scheme: str = "fft", transfer=None):
-    """div Psi_2LPT = -D1 delta1 + D2 m2v (D2 < 0).
+    Built spectrally so the linear term reuses `delta_C` (= rfft3(delta1),
+    computed here if not given — round-5 FFT dedupe: one transform of delta
+    serves the prior, the linear term, and the m2v source) and the TRANSF
+    kernels multiply in place instead of round-tripping through real space.
 
     `transfer` = optional (t_zeld, t_2lpt) rfft-layout kernels convolved
     into the linear field and the 2LPT source — the reference's TRANSF
     build (auxtransfzeld/auxtransf2lpt files, Lag2Eul.cc:174-191)."""
     t_zeld, t_2lpt = transfer if transfer is not None else (None, None)
-    m2v = _second_order_source(fourier.rfft3(delta1), g, deriv_scheme)
-    return (-D1 * _apply_transf(delta1, t_zeld, g)
-            + D2 * _apply_transf(m2v, t_2lpt, g))
+    if delta_C is None:
+        delta_C = fourier.rfft3(delta1)
+    m2v = _second_order_source(delta_C, g, deriv_scheme)
+    m2v_C = fourier.rfft3(m2v)
+    lin_C = delta_C if t_zeld is None else t_zeld * delta_C
+    if t_2lpt is not None:
+        m2v_C = t_2lpt * m2v_C
+    return -D1 * lin_C + D2 * m2v_C
+
+
+def two_lpt_div_psi(delta1, g: GridSpec, D1: float, D2: float,
+                    deriv_scheme: str = "fft", transfer=None):
+    """Real-space div Psi_2LPT (kept for tests/tools; the hot path uses
+    two_lpt_div_C directly)."""
+    return fourier.irfft3(
+        two_lpt_div_C(delta1, g, D1, D2, deriv_scheme, transfer), g)
 
 
 def two_lpt_psi(delta1, g: GridSpec, D1: float, D2: float,
-                deriv_scheme: str = "fft", transfer=None):
+                deriv_scheme: str = "fft", transfer=None, delta_C=None):
     return _psi_from_div_C(
-        fourier.rfft3(two_lpt_div_psi(delta1, g, D1, D2, deriv_scheme,
-                                      transfer)), g)
+        two_lpt_div_C(delta1, g, D1, D2, deriv_scheme, transfer, delta_C), g)
 
 
 def spherical_collapse_div_psi(delta1, g: GridSpec, D1: float):
@@ -143,7 +155,7 @@ def cellbound(v):
 
 def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
              apply_cellbound: bool = True, deriv_scheme: str = "fft",
-             transfer=None):
+             transfer=None, delta_C=None):
     """ALPT: Gaussian long/short-range split at scale `slength`:
     div = K o div_2LPT + (1 - K) o div_SC, then one displacement solve.
 
@@ -158,16 +170,28 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
     itself — so the transferred field feeds BOTH the 2LPT linear term
     (D1*dummy at :195) and the spherical-collapse psilin=-D1*dummy (:212).
     We mirror that: transfer delta1 once, reuse it for both terms.
+
+    FFT budget (round-5 dedupe): rfft3(delta1) is taken once (or reused via
+    `delta_C`); the 2LPT linear term stays spectral; only [m2v, div_sc] need
+    a (batched) forward transform.
     """
     t_zeld, t_2lpt = transfer if transfer is not None else (None, None)
-    m2v = _second_order_source(fourier.rfft3(delta1), g, deriv_scheme)
-    delta1_t = _apply_transf(delta1, t_zeld, g)
-    div_2lpt = -D1 * delta1_t + D2 * _apply_transf(m2v, t_2lpt, g)
+    if delta_C is None:
+        delta_C = fourier.rfft3(delta1)
+    m2v = _second_order_source(delta_C, g, deriv_scheme)
+    if t_zeld is None:
+        lin_C, delta1_t = delta_C, delta1
+    else:
+        lin_C = t_zeld * delta_C
+        delta1_t = fourier.irfft3(lin_C, g)
     div_sc = spherical_collapse_div_psi(delta1_t, g, D1)
     K = jnp.exp(-fourier.k_squared(g) * (slength * slength) / 2.0)
-    # one batched rfft over both divergences (XLA pipelines a batched
+    # one batched rfft over [m2v, div_sc] (XLA pipelines a batched
     # transform better than two sequential ones; see _psi_from_div_C)
-    div2lpt_C, divsc_C = fourier.rfft3(jnp.stack([div_2lpt, div_sc]))
+    m2v_C, divsc_C = fourier.rfft3(jnp.stack([m2v, div_sc]))
+    if t_2lpt is not None:
+        m2v_C = t_2lpt * m2v_C
+    div2lpt_C = -D1 * lin_C + D2 * m2v_C
     div_C = K * div2lpt_C + (1.0 - K) * divsc_C
     psi = _psi_from_div_C(div_C, g)
     if apply_cellbound:
@@ -176,16 +200,19 @@ def alpt_psi(delta1, g: GridSpec, D1: float, D2: float, slength: float,
 
 
 def lpt_psi(delta1, g: GridSpec, sfmodel: int, D1: float, D2: float,
-            slength: float, deriv_scheme: str = "fft", transfer=None):
+            slength: float, deriv_scheme: str = "fft", transfer=None,
+            delta_C=None):
     """Dispatch like Lag2Eul (Lag2Eul.cc:318-332). sfmodel is static.
 
     `transfer` (TRANSF build) only exists on the non-Zel'dovich path, as in
-    the reference (the #ifdef sits in Lag2Eul_non_zeldovich only)."""
+    the reference (the #ifdef sits in Lag2Eul_non_zeldovich only).
+    `delta_C` = optional precomputed rfft3(delta1) shared with the prior
+    energy (round-5 FFT dedupe)."""
     if sfmodel == 1:
-        return zeldovich_psi(delta1, g, D1)
+        return zeldovich_psi(delta1, g, D1, delta_C)
     if sfmodel == 2:
-        return two_lpt_psi(delta1, g, D1, D2, deriv_scheme, transfer)
+        return two_lpt_psi(delta1, g, D1, D2, deriv_scheme, transfer, delta_C)
     if sfmodel == 3:
         return alpt_psi(delta1, g, D1, D2, slength, deriv_scheme=deriv_scheme,
-                        transfer=transfer)
+                        transfer=transfer, delta_C=delta_C)
     raise ValueError(f"unknown sfmodel {sfmodel}")

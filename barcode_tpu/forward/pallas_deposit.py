@@ -610,7 +610,11 @@ def _offset_histogram(delta, g: GridSpec, fc, gp):
         L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
         off = jnp.mod(off + L / 2, L) - L / 2
         m = jnp.maximum(jnp.abs(off[0]), jnp.abs(off[1]))
-        return jnp.bincount(m.astype(jnp.int32).ravel(), length=64)
+        # full min-image range: |off| <= N/2, so no offset can fall outside
+        # the histogram (jnp.bincount silently DROPS out-of-range values,
+        # which would understate the halo contract and drop deposit mass)
+        return jnp.bincount(m.astype(jnp.int32).ravel(),
+                            length=max(g.N1, g.N2) // 2 + 1)
 
     import numpy as np
     return np.asarray(hist(delta))

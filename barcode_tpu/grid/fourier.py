@@ -138,6 +138,32 @@ def displacement_from_phi(phi, g: GridSpec):
     return irfft3(jnp.stack([kx * base, ky * base, kz * base]), g)
 
 
+def hermitian_mult(g: GridSpec, dtype=jnp.float32):
+    """Multiplicity of each half-complex mode in the full complex grid:
+    2 for 0 < kz < N3/2, else 1 (the z-axis Hermitian pairing)."""
+    n3h = g.N3 // 2 + 1
+    iz = jnp.arange(n3h)
+    mult_z = jnp.where((iz > 0) & ~((g.N3 % 2 == 0) & (iz == g.N3 // 2)),
+                       2.0, 1.0).astype(dtype)
+    return mult_z[None, None, :]
+
+
+def inv_corr_quadratic_C(X, g: GridSpec, corr_rfft):
+    """1/2 x . IFFT[(V/N)/C(k) FFT(x)] evaluated directly in Fourier space
+    via Parseval: (1/2N) sum_k mult_k (V/N)/C(k) |X_k|^2, zero where C <= 0.
+
+    Mathematically identical to 0.5*sum(x * convolve_inv_corr(x, g, C)) but
+    costs no transforms when X = rfft3(x) is already available — the round-5
+    FFT-chain dedupe (the prior energy and the LPT solve share one
+    rfft3(delta) per psi evaluation; see model/posterior.make_psi).
+    """
+    norm_fs = g.vol / g.N
+    fac = jnp.where(corr_rfft > 0.0,
+                    norm_fs / jnp.where(corr_rfft > 0.0, corr_rfft, 1.0), 0.0)
+    p_mode = X.real * X.real + X.imag * X.imag
+    return 0.5 / g.N * jnp.sum(hermitian_mult(g, p_mode.dtype) * fac * p_mode)
+
+
 def convolve_inv_corr(x, g: GridSpec, corr_rfft):
     """out = IFFT[ (V/N) / C(k) * FFT(x) ], zero where C <= 0.
 

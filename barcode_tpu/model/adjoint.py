@@ -79,7 +79,7 @@ def _adj_m2v(u, delta_lag, g: GridSpec):
     p_ab = irfft[(k_a k_b / k^2) rfft delta].  dm2v/dp_aa = sum_{b!=a} p_bb,
     dm2v/dp_ab = -2 p_ab (a < b); each p_ab multiplier is real-symmetric,
     hence self-adjoint.  Parity: the chain the reference's calc_m2v_mem
-    builds forward (EqSolvers.cc:29-64), transposed."""
+    builds forward (EqSolvers.cc:373-422), transposed."""
     kx, ky, kz = fourier.kvec(g)
     k2 = kx * kx + ky * ky + kz * kz
     inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)

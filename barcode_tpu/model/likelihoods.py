@@ -52,6 +52,14 @@ def prior_psi(delta_lag, g: GridSpec, obs: ObsData):
     return 0.5 * jnp.sum(delta_lag * Sinv_s)
 
 
+def prior_psi_C(delta_C, g: GridSpec, obs: ObsData):
+    """psi_prior evaluated from the half-complex spectrum of s via Parseval
+    (fourier.inv_corr_quadratic_C) — identical to prior_psi(s) but costs no
+    transforms when rfft3(s) is already in hand (the LPT solve needs the
+    same spectrum, so make_psi computes it once; round-5 FFT dedupe)."""
+    return fourier.inv_corr_quadratic_C(delta_C, g, obs.power)
+
+
 def prior_grad(delta_lag, g: GridSpec, obs: ObsData):
     """d psi_prior / d s = S^-1 s (gaussian.cpp:15-18)."""
     return fourier.convolve_inv_corr(delta_lag, g, obs.power)

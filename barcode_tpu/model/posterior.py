@@ -66,13 +66,23 @@ def make_psi(g: GridSpec, mc: ModelConfig, gp: GrowthParams, obs: ObsData):
     to performance_log.txt (HMC.cc:40-60).
     """
 
+    from barcode_tpu.grid import fourier
+
     def psi(delta_lag):
-        psi_prior = likelihoods.prior_psi(delta_lag, g, obs)
+        # Round-5 FFT dedupe: one rfft3(delta) serves both the prior energy
+        # (Parseval form, no irfft either) and the LPT displacement solve —
+        # the reference transforms the same field separately in
+        # prior_gaussian_log_prior (HMC_help.cc:16-64) and theta2vel
+        # (EqSolvers.cc:168-277) every gradient evaluation.
+        delta_lag_C = fourier.rfft3(delta_lag)
+        psi_prior = likelihoods.prior_psi_C(delta_lag_C, g, obs)
         if mc.likelihood == 3:
             # GRF model bypasses the forward model entirely (HMC.cc:159-162)
             psi_like = likelihoods.grf_psi(delta_lag, obs)
         else:
-            delta_x = lag2eul(mc.deltaQ_factor * delta_lag, g, mc.forward, gp)
+            # rfft is linear, so the deltaQ_factor test knob commutes with it
+            delta_x = lag2eul(mc.deltaQ_factor * delta_lag, g, mc.forward, gp,
+                              delta_C=mc.deltaQ_factor * delta_lag_C)
             psi_like = likelihoods.likelihood_psi(mc.likelihood, delta_x, obs)
         return psi_prior + psi_like, (psi_prior, psi_like)
 

@@ -118,7 +118,9 @@ def _deposit_local(pos, g: GridSpec, fc: ForwardConfig, halo: int, n_dev: int, d
 def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
                               interpret: bool | None = None,
                               block: tuple = (8, 8),
-                              bf16_fwd: bool = False, bf16_bwd: bool = False):
+                              bf16_fwd: bool = False, bf16_bwd: bool = False,
+                              kernel_halo: int | None = None,
+                              tail_k: int = 0):
     """Slab-local Pallas TSC deposit (pos, devf) -> extended x buffer, with
     an exact custom VJP via the windowed slab gather kernel.  `devf` is the
     'grid' axis index as float (a regular argument, not a closure, so the
@@ -126,36 +128,78 @@ def _make_pallas_slab_deposit(g: GridSpec, halo: int, n_dev: int,
 
     The ring-exchange fold stays *outside* (plain jnp ops, ppermute has a
     transpose), so jax.grad of the folded density reaches this VJP with the
-    extended-buffer cotangent the gather kernel expects."""
+    extended-buffer cotangent the gather kernel expects.
+
+    Halo-tail split (round 5, the slab twin of assign.make_tsc_deposit_fast):
+    with tail_k > 0 and kernel_halo < halo, the KERNELS run at the small
+    quantile `kernel_halo` (their MAC/VPU cost scales with the window area
+    (B + 2h)^2) while the exchange margin stays at the worst-case `halo` —
+    the margin is pure ppermute bandwidth, which is cheap.  Contract
+    violators of the kernel halo are zero-weighted in-kernel (a violator
+    would otherwise deposit PARTIAL mass), compacted (rounds-of-strided-
+    argmax, not top_k — PLAN.md round 4), and deposited/differentiated
+    exactly through a 27-point XLA path into the worst-case-sized extended
+    buffer, which the ring exchange then folds as usual.  Violators beyond
+    the worst-case margin itself lose mass (none exist when `halo` is the
+    measured displacement bound)."""
     from barcode_tpu.forward import pallas_deposit as _pd
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n1_loc = g.N1 // n_dev
-    halo4 = -(-halo // 4) * 4  # Mosaic: WY must divide by 8
-    assert halo4 <= n1_loc, (
-        f"pallas slab halo ({halo4}, rounded to a multiple of 4) must not "
-        f"exceed the slab width ({n1_loc}): the ring exchange only reaches "
-        "adjacent slabs")
+    h_k = halo if (tail_k <= 0 or kernel_halo is None) else min(kernel_halo,
+                                                                halo)
+    h_k4 = -(-h_k // 4) * 4  # Mosaic: WY must divide by 8
+    h_x = max(halo, h_k4)    # exchange margin (worst case)
+    split = tail_k > 0 and h_k4 < h_x
+    if not split:
+        h_x = h_k4  # single-halo path: buffer sized by the kernel halo
+    assert h_x <= n1_loc, (
+        f"pallas slab exchange halo ({h_x}) must not exceed the slab width "
+        f"({n1_loc}): the ring exchange only reaches adjacent slabs")
+    pad = h_x - h_k4
 
     @jax.custom_vjp
     def dep(pos, devf):
-        return _pd.tsc_deposit_pallas_slab(
-            pos, g, n1_loc, devf, halo4, block=block, interpret=interpret,
-            bf16=bf16_fwd)
+        if not split:
+            return _pd.tsc_deposit_pallas_slab(
+                pos, g, n1_loc, devf, h_k4, block=block, interpret=interpret,
+                bf16=bf16_fwd)
+        excess = assign._slab_halo_excess(pos, g, n1_loc, devf, h_k4)
+        ok = (excess <= 0.0).astype(pos.dtype)
+        ext_k = _pd.tsc_deposit_pallas_slab(
+            pos, g, n1_loc, devf, h_k4, block=block, interpret=interpret,
+            bf16=bf16_fwd, weights=ok)
+        ext = jnp.pad(ext_k, ((pad, pad), (0, 0), (0, 0)))
+        vals, idx = assign._compact_topk(excess.ravel(), tail_k)
+        pos_k = pos.reshape(3, -1)[:, idx]
+        row_k = (idx // (g.N2 * g.N3)).astype(pos.dtype)
+        return ext + assign._tail_deposit_slab(
+            pos_k, row_k, vals > 0.0, g, n1_loc, h_x, devf * n1_loc)
 
     def dep_fwd(pos, devf):
         return dep(pos, devf), (pos, devf)
 
     def dep_bwd(res, cot):
         pos, devf = res
+        cot_k = cot[pad:pad + n1_loc + 2 * h_k4] if split else cot
         out = _pd.tsc_gather_grads_pallas_slab(
-            cot, pos, g, n1_loc, devf, halo4, block=block, interpret=interpret,
-            bf16=bf16_bwd, want_value=False)
-        return out, jnp.zeros_like(devf)
+            cot_k, pos, g, n1_loc, devf, h_k4, block=block,
+            interpret=interpret, bf16=bf16_bwd, want_value=False)
+        if not split:
+            return out, jnp.zeros_like(devf)
+        excess = assign._slab_halo_excess(pos, g, n1_loc, devf, h_k4)
+        ok = (excess <= 0.0).astype(cot.dtype)
+        vals, idx = assign._compact_topk(excess.ravel(), tail_k)
+        pos_k = pos.reshape(3, -1)[:, idx]
+        row_k = (idx // (g.N2 * g.N3)).astype(pos.dtype)
+        vk = assign._tail_weight_grad_slab(
+            cot, pos_k, row_k, vals > 0.0, g, n1_loc, h_x, devf * n1_loc)
+        outf = (out * ok[None]).reshape(3, -1).at[:, idx].add(vk)
+        return outf.reshape((3, n1_loc, g.N2, g.N3)), jnp.zeros_like(devf)
 
     dep.defvjp(dep_fwd, dep_bwd)
-    return dep, halo4
+    return dep, h_x
 
 
 def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
@@ -171,10 +215,14 @@ def _make_psi_local(g: GridSpec, fc: ForwardConfig, gp: GrowthParams,
     use_pallas = bool(getattr(fc, "pallas_deposit", False)) and \
         mk in ("tsc", "sph_ft")
     if use_pallas:
+        # halo-tail split: fc.pallas_halo (the quantile kernel halo) + the
+        # worst-case exchange margin `halo`; see _make_pallas_slab_deposit
         pallas_dep, halo = _make_pallas_slab_deposit(
             g, halo, n_dev, block=tuple(getattr(fc, "pallas_block", (8, 8))),
             bf16_fwd=getattr(fc, "pallas_bf16_dep", False),
-            bf16_bwd=getattr(fc, "pallas_bf16_grad", False))
+            bf16_bwd=getattr(fc, "pallas_bf16_grad", False),
+            kernel_halo=getattr(fc, "pallas_halo", 0) or None,
+            tail_k=getattr(fc, "pallas_tail_k", 0))
 
     def psi_local(delta, nobs, window, noise, power_f):
         dev = jax.lax.axis_index(AXIS)

@@ -136,9 +136,14 @@ class ShardedRunner:
         power = jax.jit(self._load_power)()
         self.key, k_mock, k_guess, k_chains = jax.random.split(self.key, 4)
 
+        fc_mock = fc
+        if fc.pallas_deposit:
+            # the mock runs the DENSE forward at setup; the Pallas halo may
+            # still be unresolved (<= 0) here, so use the XLA deposit
+            fc_mock = dataclasses.replace(fc, pallas_deposit=False)
         if conf.mock.random_test:
             md = jax.jit(lambda k: mock_mod.generate(
-                k, g, conf.mock, fc, gp, power, conf.model.likelihood,
+                k, g, conf.mock, fc_mock, gp, power, conf.model.likelihood,
                 delta_min=conf.delta_min))(k_mock)
             mock_mod.validate(md, conf.model.likelihood)
             self.obs, self.truth = md.obs, md.truth_lag
@@ -170,11 +175,22 @@ class ShardedRunner:
 
         # auto-halo: with the Pallas slab deposit the kernel cost scales
         # ~linearly with the halo, so measure the true displacement bound
-        # from the mock truth instead of the a-priori sigma formula
-        if self.halo is None and getattr(fc, "pallas_deposit", False) \
-                and self.truth is not None:
+        # from the mock truth instead of the a-priori sigma formula.  With
+        # the tail split (pallas_tail_k > 0) the bound stays the ppermute
+        # EXCHANGE margin while the kernels run at the quantile halo
+        # (fc.pallas_halo), the slab twin of the round-4 dense split
+        # (sharded_forward._make_pallas_slab_deposit).
+        if getattr(fc, "pallas_deposit", False) and self.truth is not None:
             from barcode_tpu.forward import pallas_deposit as _pd
-            self.halo = _pd.displacement_bound_cells(self.truth, g, fc, gp)
+            if self.halo is None:
+                self.halo = _pd.displacement_bound_cells(self.truth, g, fc, gp)
+            if fc.pallas_tail_k > 0 and fc.pallas_halo <= 0:
+                fc = dataclasses.replace(fc, pallas_halo=(
+                    _pd.displacement_halo_quantile(self.truth, g, fc, gp,
+                                                   fc.pallas_tail_k)))
+                self.conf = dataclasses.replace(
+                    conf, model=dataclasses.replace(conf.model, forward=fc))
+                conf = self.conf
 
         # per-chain over-dispersed starts (stochastic guesses), as in
         # runner.Runner.setup
@@ -203,37 +219,49 @@ class ShardedRunner:
                                 conf.hmc), mesh)
 
         # FS mass; likelihood-force types (2/3) build their force spectrum
-        # once from the dense chain-0 guess (likeli_force_mass semantics,
-        # HMC_mass.cc:127-161)
-        force = None
-        if conf.hmc.mass_type in (2, 3):
-            from barcode_tpu.model import posterior as post_mod
-            mc = conf.model
-
-            def psi_like_only(s):
-                if mc.likelihood == 3:
-                    from barcode_tpu.model import likelihoods
-                    return likelihoods.grf_psi(s, self.obs)
-                from barcode_tpu.forward.lag2eul import lag2eul as l2e
-                dx = l2e(mc.deltaQ_factor * s, g, dataclasses.replace(
-                    fc, pallas_deposit=False), gp)
-                from barcode_tpu.model import likelihoods
-                return likelihoods.likelihood_psi(mc.likelihood, dx, self.obs)
-
-            force = jax.jit(jax.grad(psi_like_only))(np.asarray(batch[0]))
-        from barcode_tpu.forward.lag2eul import kernel_h as kh
-        mass = jax.jit(lambda P_, f: mass_mod.compute_mass(
-            g, conf.hmc.mass_type, P_, nbin=conf.N_bin, likeli_force=f,
-            mass_factor=conf.hmc.mass_factor, window=self.obs.window,
-            noise=self.obs.noise, kernel_h=kh(fc, g)))(
-                power, force if force is not None else jnp.zeros(g.shape))
-        self.mass_f = jax.device_put(
-            mass.mass_f, NamedSharding(mesh, P(None, AXIS, None)))
+        # from the dense chain-0 signal (likeli_force_mass semantics,
+        # HMC_mass.cc:127-161) and are recomputed on the massnum cadence
+        # during run() exactly like the dense runner (HMC.cc:387-424)
+        self._power = power
+        self.mass_f = self._compute_mass_f(np.asarray(batch[0]))
 
         self._run = ss.make_sharded_sampler(
             g, fc, gp, conf.model.likelihood, conf.hmc, mesh, halo=self.halo,
             n_attempts_per_call=self.attempt_batch)
         return self
+
+    def _compute_mass_f(self, signal=None):
+        """Build (or rebuild) the sharded FS mass spectrum.  For the
+        likelihood-force mass types (2/3) the force is evaluated densely on
+        `signal` (default: the current chain-0 delta) — the sharded twin of
+        Runner._compute_mass / likeli_force_mass (HMC_mass.cc:127-161)."""
+        conf, g, gp = self.conf, self.g, self.gp
+        fc = conf.model.forward
+        if signal is None:
+            signal = np.asarray(self.state["delta"][0])
+        force = None
+        if conf.hmc.mass_type in (2, 3):
+            mc = conf.model
+
+            def psi_like_only(s):
+                from barcode_tpu.model import likelihoods
+                if mc.likelihood == 3:
+                    return likelihoods.grf_psi(s, self.obs)
+                from barcode_tpu.forward.lag2eul import lag2eul as l2e
+                dx = l2e(mc.deltaQ_factor * s, g, dataclasses.replace(
+                    fc, pallas_deposit=False), gp)
+                return likelihoods.likelihood_psi(mc.likelihood, dx, self.obs)
+
+            force = jax.jit(jax.grad(psi_like_only))(jnp.asarray(signal))
+        from barcode_tpu.forward.lag2eul import kernel_h as kh
+        mass = jax.jit(lambda P_, f: mass_mod.compute_mass(
+            g, conf.hmc.mass_type, P_, nbin=conf.N_bin, likeli_force=f,
+            mass_factor=conf.hmc.mass_factor, window=self.obs.window,
+            noise=self.obs.noise, kernel_h=kh(fc, g)))(
+                self._power, force if force is not None
+                else jnp.zeros(g.shape))
+        return jax.device_put(
+            mass.mass_f, NamedSharding(self.mesh, P(None, AXIS, None)))
 
     # -- outputs -------------------------------------------------------------
 
@@ -282,14 +310,17 @@ class ShardedRunner:
 
     def run(self, n_samples: int | None = None, max_attempts: int = 10**9,
             log: bool = True, progress_every: int = 10,
-            rhat_stop: float | None = None, dashboard: bool | None = None):
+            rhat_stop: float | None = None, dashboard: bool | None = None,
+            nan_check: bool = False):
         """Sample until every chain holds >= n_samples accepted samples,
         with the same loop surface as runner.Runner.run: attempt batches on
         device, metrics/psi traces, outnum/outnum_ps dump cadences, itmax
-        stall warning, optional cross-chain R-hat stop, live ANSI dashboard
-        (None = auto-enable on a TTY)."""
+        stall warning, massnum mass-recompute cadence (types 2/3), optional
+        cross-chain R-hat stop, NaN abort, live ANSI dashboard (None =
+        auto-enable on a TTY)."""
         from barcode_tpu.utils.dashboard import Dashboard
-        from barcode_tpu.utils.metrics import SamplerMetrics, split_rhat
+        from barcode_tpu.utils.metrics import (SamplerMetrics, check_finite,
+                                               split_rhat)
 
         conf = self.conf
         n_samples = n_samples if n_samples is not None else conf.N_Gibbs
@@ -312,9 +343,23 @@ class ShardedRunner:
             self.metrics.update(stats)
             self._psi_trace.append(np.asarray(self.state["psi"]))
             self._trace_t.append(time.time())
+            if nan_check:
+                check_finite({k: v for k, v in self.state.items()
+                              if k != "key_data"},
+                             f"after attempt {attempts}")
             if log:
                 self._log_attempts(stats)
             acc0 = int(np.asarray(self.state["accepted"])[0])
+            # mass recompute cadence (HMC.cc:387-424): only the
+            # signal-dependent likelihood-force masses change
+            if conf.hmc.mass_type in (2, 3):
+                burned = acc0 >= conf.hmc.s_eps_total(self.g.N)
+                cadence = (conf.hmc.massnum_post if burned
+                           else conf.hmc.massnum_burn)
+                last = getattr(self, "_mass_at_sample", 0)
+                if cadence > 0 and acc0 - last >= cadence:
+                    self.mass_f = self._compute_mass_f()
+                    self._mass_at_sample = acc0
             for i in range(self._dump_cursor + 1,
                            min(acc0, n_samples) + 1):
                 wf = i <= 10 or (conf.outnum > 0 and i % conf.outnum == 0)
@@ -417,4 +462,41 @@ class ShardedRunner:
         self.state = ss.shard_chain_state(state, self.mesh)
         self._dump_cursor = int(meta.get("dump_cursor",
                                          meta.get("next_dump", 1) - 1))
+        return self
+
+    def restore_from_dumps(self, iteration: int):
+        """File-based restart without a checkpoint — the sharded twin of
+        Runner.restore_from_dumps (reference semantics main.cc:121-131,
+        load_initial_fields barcoderunner.cc:284-344): chain 0 resumes the
+        dumped deltaLAG_<iteration> exactly, other chains keep their setup
+        guesses; psi/grads are recomputed through the sharded posterior;
+        the adaptive-eps controller state is replayed from
+        performance_log.txt (runner.replay_perflog)."""
+        from barcode_tpu.runner import replay_perflog
+
+        s0 = bio.read_array(self.dir / f"deltaLAG_{iteration}", self.g.shape)
+        delta = np.asarray(self.state["delta"]).copy()
+        delta[0] = s0
+        batch = jax.device_put(
+            jnp.asarray(delta),
+            NamedSharding(self.mesh, P("chains", AXIS, None, None)))
+        (vals, (pp, pl)), grads = self._vg(batch, self.obs_sh)
+        nc = self.n_chains
+        state = dict(self.state)
+        state.update(delta=batch, psi=vals, psi_prior=pp, psi_like=pl,
+                     grad=grads,
+                     accepted=jnp.full(nc, iteration, jnp.int32))
+        rep = replay_perflog(self.dir, self.conf.hmc, self.g.N)
+        if rep is not None:
+            bc = lambda x: jnp.broadcast_to(
+                jnp.asarray(x), (nc,) + jnp.asarray(x).shape)
+            state.update(
+                eps_fac=jnp.full(nc, rep["eps_fac"], jnp.float32),
+                acc_flags=bc(rep["acc_flags"]).astype(jnp.int32),
+                eps_table=bc(rep["eps_table"]).astype(jnp.float32),
+                count_attempts=jnp.full(nc, rep["count_attempts"], jnp.int32),
+                rejections=jnp.full(nc, rep["rejections"], jnp.int32),
+                got_first_accept=jnp.full(nc, rep["got_first_accept"], bool))
+        self.state = ss.shard_chain_state(state, self.mesh)
+        self._dump_cursor = iteration
         return self

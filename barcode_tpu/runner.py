@@ -503,40 +503,7 @@ class Runner:
         return self
 
     def _replay_perflog(self):
-        """Reconstruct the adaptive-eps state from performance_log.txt —
-        the reference's restart path (barcoderunner.cc:408-479): rejection
-        count and the (accepted, epsilon) circular tables are replayed
-        exactly; eps_fac is the max epsilon among recently *accepted*
-        attempts (the reference's own approximation for controllers 2/3,
-        barcoderunner.cc:449-473).  Returns None when no log exists."""
-        path = self.dir / "performance_log.txt"
-        if not path.exists():
-            return None
-        rows = []
-        for line in path.read_text().splitlines():
-            if line.startswith("#") or not line.strip():
-                continue
-            parts = line.split("\t")
-            rows.append((float(parts[0]), float(parts[1])))  # accepted, eps
-        if not rows:
-            return None
-        n_a = self.conf.hmc.N_a_eps_update
-        acc = np.zeros(n_a, np.int32)
-        eps = np.full(n_a, self.conf.hmc.eps_fac_start(self.g.N), np.float32)
-        for t, (a, e) in enumerate(rows):
-            acc[t % n_a] = int(a)
-            eps[t % n_a] = e
-        recent = rows[-n_a:]
-        acc_eps = [e for a, e in recent if a > 0]
-        eps_fac = max(acc_eps) if acc_eps else float(eps.max())
-        return {
-            "count_attempts": len(rows),
-            "rejections": len(rows) - sum(int(a) for a, _ in rows),
-            "acc_flags": acc,
-            "eps_table": eps,
-            "eps_fac": eps_fac,
-            "got_first_accept": any(a > 0 for a, _ in rows),
-        }
+        return replay_perflog(self.dir, self.conf.hmc, self.g.N)
 
     def restore_from_dumps(self, iteration: int):
         """File-based restart without a checkpoint (main.cc:121-131,
@@ -576,3 +543,40 @@ class Runner:
         self.states = st
         self._dump_cursor = iteration
         return self
+
+def replay_perflog(run_dir: Path, hc, N: int):
+    """Reconstruct the adaptive-eps state from performance_log.txt —
+    the reference's restart path (barcoderunner.cc:408-479): rejection
+    count and the (accepted, epsilon) circular tables are replayed
+    exactly; eps_fac is the max epsilon among recently *accepted*
+    attempts (the reference's own approximation for controllers 2/3,
+    barcoderunner.cc:449-473).  Returns None when no log exists.
+    Shared by Runner and parallel.sharded_runner.ShardedRunner."""
+    path = Path(run_dir) / "performance_log.txt"
+    if not path.exists():
+        return None
+    rows = []
+    for line in path.read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        parts = line.split("\t")
+        rows.append((float(parts[0]), float(parts[1])))  # accepted, eps
+    if not rows:
+        return None
+    n_a = hc.N_a_eps_update
+    acc = np.zeros(n_a, np.int32)
+    eps = np.full(n_a, hc.eps_fac_start(N), np.float32)
+    for t, (a, e) in enumerate(rows):
+        acc[t % n_a] = int(a)
+        eps[t % n_a] = e
+    recent = rows[-n_a:]
+    acc_eps = [e for a, e in recent if a > 0]
+    eps_fac = max(acc_eps) if acc_eps else float(eps.max())
+    return {
+        "count_attempts": len(rows),
+        "rejections": len(rows) - sum(int(a) for a, _ in rows),
+        "acc_flags": acc,
+        "eps_table": eps,
+        "eps_fac": eps_fac,
+        "got_first_accept": any(a > 0 for a, _ in rows),
+    }

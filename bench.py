@@ -96,7 +96,10 @@ def build_step(n_grid: int):
             L = jnp.asarray([g.N1, g.N2, g.N3], pos.dtype).reshape(3, 1, 1, 1)
             off = jnp.mod(off + L / 2, L) - L / 2
             m = jnp.maximum(jnp.abs(off[0]), jnp.abs(off[1]))
-            return jnp.bincount(m.astype(jnp.int32).ravel(), length=32)
+            # full min-image range so no offset is silently dropped
+            # (jnp.bincount drops out-of-range values)
+            return jnp.bincount(m.astype(jnp.int32).ravel(),
+                                length=max(g.N1, g.N2) // 2 + 1)
 
         import numpy as _np
         hist = _np.asarray(_off_hist())

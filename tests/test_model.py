@@ -167,3 +167,50 @@ particle_kernel = 0
     par.write_text("Nx = 8\nLx = 80.0\nparticle_kernel = 1\n")
     with pytest.raises(ValueError):
         RunConfig.from_input_par(par)
+
+
+def test_prior_psi_C_matches_real_space():
+    """Round-5 FFT dedupe: the Parseval-form prior energy equals the
+    real-space form 1/2 s.S^-1 s exactly (fourier.inv_corr_quadratic_C)."""
+    from barcode_tpu.grid import fourier
+
+    # odd-N3 grid too: the Hermitian multiplicity differs at the Nyquist
+    for g in (G, GridSpec(8, 6, 10, 80.0, 60.0, 100.0),
+              GridSpec(8, 8, 9, 80.0, 80.0, 90.0)):
+        P = jnp.full(g.rshape, 30.0).at[0, 0, 0].set(0.0)
+        obs = ObsData(nobs=jnp.zeros(g.shape), window=jnp.ones(g.shape),
+                      noise=jnp.ones(g.shape), power=P)
+        s = jax.random.normal(jax.random.key(7), g.shape)
+        want = float(likelihoods.prior_psi(s, g, obs))
+        got = float(likelihoods.prior_psi_C(fourier.rfft3(s), g, obs))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_make_psi_shared_rfft_matches_split_evaluation():
+    """make_psi (shared-transform form) == prior_psi + likelihood(lag2eul)
+    computed independently, for every sfmodel; gradients agree too."""
+    from barcode_tpu.forward.lag2eul import lag2eul
+
+    obs = make_obs(jax.random.key(4))
+    s = 0.1 * jax.random.normal(jax.random.key(5), G.shape)
+    for sfmodel in (1, 2, 3):
+        mc = posterior.ModelConfig(
+            likelihood=1, forward=ForwardConfig(sfmodel=sfmodel, masskernel=2),
+            deltaQ_factor=1.25)
+        psi_fn = posterior.make_psi(G, mc, GP, obs)
+        (tot, (pp, pl)) = psi_fn(s)
+        pp_ref = likelihoods.prior_psi(s, G, obs)
+        dx = lag2eul(1.25 * s, G, mc.forward, GP)
+        pl_ref = likelihoods.gaussian_psi(dx, obs)
+        np.testing.assert_allclose(float(pp), float(pp_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(pl), float(pl_ref), rtol=1e-5)
+
+        def split(d):
+            return (likelihoods.prior_psi(d, G, obs)
+                    + likelihoods.gaussian_psi(
+                        lag2eul(1.25 * d, G, mc.forward, GP), obs))
+
+        g_shared = jax.grad(lambda d: psi_fn(d)[0])(s)
+        g_split = jax.grad(split)(s)
+        np.testing.assert_allclose(np.asarray(g_shared), np.asarray(g_split),
+                                   rtol=2e-4, atol=2e-4)

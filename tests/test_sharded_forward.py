@@ -267,3 +267,98 @@ def test_sharded_int_masskernel_routes_pallas(monkeypatch):
     s_sh = jax.device_put(s, NamedSharding(mesh4, P(sfw.AXIS, None, None)))
     np.testing.assert_allclose(float(psi_sh(s_sh, obs_sh)),
                                float(dense_psi(s)[0]), rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Slab halo-tail split (round 5): kernels at the quantile halo, worst-case
+# ppermute exchange margin, violators exact through the 27-point XLA tail
+# (sharded_forward._make_pallas_slab_deposit, assign._tail_deposit_slab)
+# ---------------------------------------------------------------------------
+
+def _tail_problem(scale=30.0):
+    """32^3 problem whose displacements BREAK the kernel halo-4 contract
+    (62 violators at scale 30; none breach the worst-case margin 8)."""
+    G32 = GridSpec.cube(32, 320.0)
+    P_ = jnp.full(G32.rshape, 20.0).at[0, 0, 0].set(0.0)
+    truth = scale * rf.grf(jax.random.key(0), G32, P_)
+    fc_d = ForwardConfig(sfmodel=1, masskernel="tsc")
+    d_eul = lag2eul(truth, G32, fc_d, GP)
+    nobs = 1.0 + d_eul + 0.4 * jax.random.normal(jax.random.key(1), G32.shape)
+    obs = ObsData(nobs=nobs, window=jnp.ones(G32.shape),
+                  noise=jnp.full(G32.shape, 0.4), power=P_)
+    return G32, truth, fc_d, obs
+
+
+def test_slab_tail_split_psi_grad_match_dense():
+    from barcode_tpu.forward import assign, pallas_deposit as _pd
+
+    G32, truth, fc_d, obs = _tail_problem()
+    s = truth  # strong displacements: real kernel-halo violators
+    _, pos = lag2eul(s, G32, fc_d, GP, return_pos=True)
+    nviol = int(_pd.deposit_violations(pos, G32, 4))
+    assert nviol > 0, "test must exercise the tail path"
+    assert nviol < 256 // 2
+    assert int(_pd.deposit_violations(pos, G32, 8)) == 0  # margin holds all
+
+    mc = posterior.ModelConfig(likelihood=1, forward=fc_d)
+    dense_vg = jax.jit(jax.value_and_grad(
+        lambda d: posterior.make_psi(G32, mc, GP, obs)(d)[0]))
+    v_ref, g_ref = dense_vg(s)
+    g_ref = np.asarray(g_ref)
+
+    fc = ForwardConfig(sfmodel=1, masskernel="tsc", pallas_deposit=True,
+                       pallas_halo=4, pallas_tail_k=256)
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), axis_names=(sfw.AXIS,))
+    psi_sh, grad_sh = sfw.make_sharded_psi(G32, fc, GP, likelihood=1,
+                                           mesh=mesh4, halo=8)
+    obs_sh = sfw.shard_obs(obs, mesh4)
+    s_sh = jax.device_put(s, NamedSharding(mesh4, P(sfw.AXIS, None, None)))
+    np.testing.assert_allclose(float(psi_sh(s_sh, obs_sh)), float(v_ref),
+                               rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(grad_sh(s_sh, obs_sh)), g_ref,
+                               atol=3e-5 * np.abs(g_ref).max())
+
+
+def test_slab_tail_split_without_tail_drops_mass():
+    """Same problem at kernel halo 4 WITHOUT the tail: violators lose mass,
+    so psi deviates — proves the split test above is non-trivial."""
+    G32, truth, fc_d, obs = _tail_problem()
+    s = truth
+    mc = posterior.ModelConfig(likelihood=1, forward=fc_d)
+    v_ref = float(posterior.make_psi(G32, mc, GP, obs)(s)[0])
+    fc = ForwardConfig(sfmodel=1, masskernel="tsc", pallas_deposit=True,
+                       pallas_halo=4, pallas_tail_k=0)
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), axis_names=(sfw.AXIS,))
+    psi_sh, _ = sfw.make_sharded_psi(G32, fc, GP, likelihood=1, mesh=mesh4,
+                                     halo=4)
+    obs_sh = sfw.shard_obs(obs, mesh4)
+    s_sh = jax.device_put(s, NamedSharding(mesh4, P(sfw.AXIS, None, None)))
+    # 62 dropped unit-mass particles perturb psi by O(1..100) absolute —
+    # small against psi ~ 1.6e5 but far above the 3e-5-relative agreement
+    # the tail-split test demands
+    assert abs(float(psi_sh(s_sh, obs_sh)) - v_ref) > 1.0
+
+
+def test_slab_tail_split_chains_grid_mesh():
+    """Tail split composes with the ('chains','grid') 2-axis mesh."""
+    G32, truth, fc_d, obs = _tail_problem()
+    mc = posterior.ModelConfig(likelihood=1, forward=fc_d)
+    dense_vg = jax.jit(jax.value_and_grad(
+        lambda d: posterior.make_psi(G32, mc, GP, obs)(d)[0]))
+    fc = ForwardConfig(sfmodel=1, masskernel="tsc", pallas_deposit=True,
+                       pallas_halo=4, pallas_tail_k=256)
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 axis_names=("chains", sfw.AXIS))
+    vg = sfw.make_sharded_psi_vg_chains(G32, fc, GP, likelihood=1, mesh=mesh2,
+                                        halo=8)
+    obs_sh = sfw.shard_obs_chains(obs, mesh2)
+    batch = jnp.stack([truth, -0.8 * truth])
+    batch_sh = jax.device_put(
+        batch, NamedSharding(mesh2, P("chains", sfw.AXIS, None, None)))
+    (vals, _), grads = vg(batch_sh, obs_sh)
+    for c in range(2):
+        v_ref, g_ref = dense_vg(batch[c])
+        g_ref = np.asarray(g_ref)
+        np.testing.assert_allclose(float(vals[c]), float(v_ref), rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(grads[c]), g_ref,
+                                   atol=3e-5 * np.abs(g_ref).max())

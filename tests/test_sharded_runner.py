@@ -92,3 +92,46 @@ def test_sharded_runner_dashboard(conf, mesh2, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "barcode_tpu sharded" in out
     assert "dH" in out and "Neps" in out
+
+
+def test_sharded_restore_from_dumps(tmp_path, mesh2, conf):
+    """Sharded file-based restart (main.cc:121-131 twin of
+    test_restore_from_dumps): resume chain 0 from deltaLAG_<k> with
+    performance-log replay, then keep sampling."""
+    from barcode_tpu import io as bio
+
+    r = ShardedRunner(conf, mesh=mesh2, out_dir=tmp_path, halo=2).setup()
+    r.run(n_samples=2, max_attempts=80, log=True)
+    k = 2
+    dumped = bio.read_array(tmp_path / f"deltaLAG_{k}", conf.grid.shape)
+
+    r2 = ShardedRunner(conf, mesh=mesh2, out_dir=tmp_path, halo=2).setup()
+    r2.restore_from_dumps(k)
+    np.testing.assert_allclose(np.asarray(r2.state["delta"][0]), dumped,
+                               atol=1e-6)
+    assert int(np.asarray(r2.state["accepted"]).min()) == k
+    # perflog replay restored controller state
+    assert int(np.asarray(r2.state["count_attempts"])[0]) > 0
+    assert float(np.asarray(r2.state["eps_fac"])[0]) > 0
+    # psi was recomputed through the sharded posterior for the dumped field
+    (vals, _), _ = r2._vg(r2.state["delta"], r2.obs_sh)
+    np.testing.assert_allclose(np.asarray(r2.state["psi"]),
+                               np.asarray(vals), rtol=2e-4)
+    # sampling continues and dumps resume AFTER k
+    r2.run(n_samples=k + 1, max_attempts=80, log=False)
+    assert (tmp_path / f"deltaLAG_{k + 1}.dat").exists()
+    assert int(np.asarray(r2.state["accepted"]).min()) >= k + 1
+
+
+def test_sharded_mass_recompute_cadence(tmp_path, mesh2, conf):
+    """massnum cadence in sharded mode (HMC.cc:387-424 twin of
+    test_mass_recompute_cadence): the type-2 likelihood-force mass spectrum
+    actually changes during the run."""
+    c = dataclasses.replace(
+        conf, hmc=dataclasses.replace(conf.hmc, mass_type=2, massnum_burn=1,
+                                      massnum_post=1))
+    r = ShardedRunner(c, mesh=mesh2, out_dir=tmp_path, halo=2).setup()
+    m0 = np.asarray(r.mass_f).copy()
+    r.run(n_samples=3, max_attempts=200, log=False)
+    assert getattr(r, "_mass_at_sample", 0) >= 1
+    assert not np.allclose(m0, np.asarray(r.mass_f))
