@@ -180,10 +180,15 @@ class ShardedRunner:
         # EXCHANGE margin while the kernels run at the quantile halo
         # (fc.pallas_halo), the slab twin of the round-4 dense split
         # (sharded_forward._make_pallas_slab_deposit).
-        if getattr(fc, "pallas_deposit", False) and self.truth is not None:
+        if self.truth is not None:
             from barcode_tpu.forward import pallas_deposit as _pd
             if self.halo is None:
+                # measured bound for the XLA slab path too: the a-priori
+                # sigma formula (suggest_halo) oversizes ~2.5x and can
+                # exceed the slab width on small grids
                 self.halo = _pd.displacement_bound_cells(self.truth, g, fc, gp)
+        if getattr(fc, "pallas_deposit", False) and self.truth is not None:
+            from barcode_tpu.forward import pallas_deposit as _pd
             if fc.pallas_tail_k > 0 and fc.pallas_halo <= 0:
                 fc = dataclasses.replace(fc, pallas_halo=(
                     _pd.displacement_halo_quantile(self.truth, g, fc, gp,
@@ -191,6 +196,18 @@ class ShardedRunner:
                 self.conf = dataclasses.replace(
                     conf, model=dataclasses.replace(conf.model, forward=fc))
                 conf = self.conf
+        if getattr(fc, "pallas_deposit", False) and fc.pallas_halo > 0:
+            # kernel-halo contract monitor at dump time (runner.py twin):
+            # with the tail split it watches the tail capacity instead
+            from barcode_tpu.forward import pallas_deposit as _pd
+            from barcode_tpu.forward.lag2eul import lag2eul as _l2e
+            fc_norsd = dataclasses.replace(fc, rsd=False,
+                                           pallas_deposit=False)
+            self._violations_jit = jax.jit(lambda s: _pd.deposit_violations(
+                _l2e(s, g, fc_norsd, gp, return_pos=True)[1], g,
+                fc.pallas_halo))
+        else:
+            self._violations_jit = None
 
         # per-chain over-dispersed starts (stochastic guesses), as in
         # runner.Runner.setup
@@ -295,6 +312,21 @@ class ShardedRunner:
                 d_rss = self._lag2eul_rsd_jit(s)
                 bio.write_array(self.dir / f"deltaRSS_{iteration}",
                                 np.asarray(d_rss))
+        if fields and getattr(self, "_violations_jit", None) is not None:
+            nviol = int(self._violations_jit(s))
+            tail_k = self.conf.model.forward.pallas_tail_k
+            if tail_k > 0:
+                if nviol > tail_k // 2:
+                    over = " OVERFLOW: excess mass is dropped;" \
+                        if nviol > tail_k else ""
+                    print(f"WARNING: {nviol} kernel-halo violators against "
+                          f"a tail capacity of {tail_k} (pallas_tail_k) —"
+                          f"{over} raise pallas_tail_k or pallas_halo")
+            elif nviol:
+                print(f"WARNING: {nviol} particles breach the slab kernel "
+                      f"halo contract (pallas_halo="
+                      f"{self.conf.model.forward.pallas_halo}) — their mass "
+                      "is dropped; increase pallas_halo")
         if spectrum:
             km, pw, _ = self._spec_jit(s)
             bio.dump_spectrum(self.dir / f"powSpecit{iteration}.dat", km, pw)

@@ -117,8 +117,10 @@ def check_finite(states, where: str = "") -> None:
     (feenableexcept, main.cc:46-78) and contains_nan scan (HMC.cc:405-407).
     Raises on non-finite chain state."""
     bad = []
+    get = states.get if isinstance(states, dict) else \
+        lambda n: getattr(states, n)  # ChainState or sharded state dict
     for name in ("delta", "psi", "grad", "eps_fac"):
-        v = np.asarray(getattr(states, name))
+        v = np.asarray(get(name))
         if not np.isfinite(v).all():
             bad.append(name)
     if bad:
