@@ -68,8 +68,16 @@ conf = RunConfig(
                               pallas_deposit=not os.environ.get("REC64_CPU"),
                               pallas_halo=0,
                               pallas_tail_k=1024)),
-    hmc=HMCConfig(eps_fac_update_type=3, mass_type=1, N_a_eps_update=64,
-                  N_eps_fac=32),
+    hmc=HMCConfig(eps_fac_update_type=3,
+                  # REC64_MASS=3 switches to the likelihood-force
+                  # preconditioner (Wang+13 mean force, HMC_mass.cc:145-161)
+                  # for the follow-on phase: the inverse-P mass leaves
+                  # data-dominated modes stiff (posterior width << prior
+                  # width), which slows their mean-drift — exactly what the
+                  # flat-0.85 spectrum ratio of the mass-1 phase measures
+                  mass_type=int(os.environ.get("REC64_MASS", 1)),
+                  massnum_burn=2000, massnum_post=4000,
+                  N_a_eps_update=64, N_eps_fac=32),
     mock=MockConfig(random_test=True, sigma_min=1.0),
     n_chains=8,
     N_Gibbs=10**6,
@@ -85,6 +93,11 @@ conf = RunConfig(
 t0 = time.time()
 r = Runner(conf).setup()
 print("resolved pallas_halo:", r.conf.model.forward.pallas_halo, flush=True)
+if os.environ.get("REC64_RESUME") and (OUT / "checkpoint.npz").exists():
+    r.restore()
+    if conf.hmc.mass_type in (2, 3):
+        r.mass = r._compute_mass()  # force spectrum from the restored state
+    print("resumed from checkpoint.npz", flush=True)
 truth = np.asarray(r.truth)
 ts = np.asarray(r._truth_spec)
 
