@@ -230,12 +230,18 @@ class Runner:
 
     def _likelihood_force(self, signal):
         mc = self.conf.model
+        # XLA deposit here: the force only seeds the mass-2/3 preconditioner
+        # spectrum (likeli_force_mass, HMC_mass.cc:127-161), so the Pallas
+        # kernels buy nothing — and skipping them avoids compiling a
+        # standalone Pallas-VJP program just for the occasional massnum
+        # recompute (the sharded runner does the same)
+        fwd = dataclasses.replace(mc.forward, pallas_deposit=False)
 
         def psi_like_only(s):
             if mc.likelihood == 3:
                 from barcode_tpu.model import likelihoods
                 return likelihoods.grf_psi(s, self.obs)
-            dx = lag2eul(mc.deltaQ_factor * s, self.g, mc.forward, self.gp)
+            dx = lag2eul(mc.deltaQ_factor * s, self.g, fwd, self.gp)
             from barcode_tpu.model import likelihoods
             return likelihoods.likelihood_psi(mc.likelihood, dx, self.obs)
 
