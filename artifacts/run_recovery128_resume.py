@@ -46,8 +46,13 @@ conf = RunConfig(
                               pallas_deposit=not os.environ.get("REC128_CPU"),
                               pallas_halo=0,  # auto quantile (tail on)
                               pallas_tail_k=1024)),
-    hmc=HMCConfig(eps_fac_update_type=3, mass_type=1, N_a_eps_update=64,
-                  N_eps_fac=32),
+    # mass_type=3 (likelihood-force preconditioner): the 64^3 round-5
+    # study showed the inverse-P mass leaves data-dominated modes stiff
+    # (spectrum ratio plateau); type 3 lifted eps ~11x at equal acceptance
+    hmc=HMCConfig(eps_fac_update_type=3,
+                  mass_type=int(os.environ.get("REC128_MASS", 3)),
+                  massnum_burn=2000, massnum_post=4000,
+                  N_a_eps_update=64, N_eps_fac=32),
     mock=MockConfig(random_test=True, sigma_min=1.0),
     n_chains=4,
     N_Gibbs=10**6,
@@ -65,6 +70,8 @@ r = Runner(conf).setup()
 print("resolved pallas_halo:", r.conf.model.forward.pallas_halo, flush=True)
 if (OUT / "checkpoint.npz").exists():
     r.restore()
+    if conf.hmc.mass_type in (2, 3):
+        r.mass = r._compute_mass()  # force spectrum from the restored state
     print("resumed from checkpoint.npz (round-4 warmup state)", flush=True)
 truth = np.asarray(r.truth)
 ts = np.asarray(r._truth_spec)

@@ -488,7 +488,10 @@ class Runner:
                 arrs[f"leaf_{i}"] = np.asarray(leaf)
         np.savez(path, **arrs)
         meta = {"n_leaves": len(leaves), "key_leaves": key_ix,
-                "conf_seed": self.conf.seed, "grid": [self.g.N1, self.g.L1]}
+                "conf_seed": self.conf.seed, "grid": [self.g.N1, self.g.L1],
+                # resume must not re-dump already-dumped samples
+                "dump_cursor": getattr(self, "_dump_cursor", 0),
+                "mass_at_sample": getattr(self, "_mass_at_sample", 0)}
         path.with_suffix(".json").write_text(json.dumps(meta))
         if self._protocols is not None and self.states is not None:
             self._protocols.write_restart_marker(int(self.states.accepted.min()))
@@ -506,6 +509,8 @@ class Runner:
             for i in range(len(leaves))
         ]
         self.states = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self._dump_cursor = int(meta.get("dump_cursor", 0))
+        self._mass_at_sample = int(meta.get("mass_at_sample", 0))
         return self
 
     def _replay_perflog(self):
