@@ -107,9 +107,10 @@ for tag, kw, halo in configs:
            "grad_norm": g_norm, "compile_s": compile_s}
     results[tag] = row
     print(json.dumps(row), flush=True)
+    # write incrementally: cold compiles can exhaust the outer timeout
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"sharded_tail_hw_{N}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
 
-out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   f"sharded_tail_hw_{N}.json")
-with open(out, "w") as f:
-    json.dump(results, f, indent=1)
 print("wrote", out)
