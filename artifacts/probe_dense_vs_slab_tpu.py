@@ -72,9 +72,11 @@ truth, nobs, Pk = setup()
 s0 = truth * 0.5
 
 # --- 0. TPU FFT accuracy anchor (vs numpy f64 on a small slice budget) ---
+# (the axon backend cannot transfer complex arrays to host: fetch re/im)
 x_np = np.asarray(s0, np.float64)
 F_np = np.fft.rfftn(x_np)
-F_tpu = np.asarray(jax.jit(fourier.rfft3)(s0), np.complex128)
+Fri, Fii = jax.jit(lambda x: (fourier.rfft3(x).real, fourier.rfft3(x).imag))(s0)
+F_tpu = np.asarray(Fri, np.float64) + 1j * np.asarray(Fii, np.float64)
 out["fft_rel_l2_tpu_vs_f64"] = rel(F_tpu, F_np)
 print("stage0 fft:", out["fft_rel_l2_tpu_vs_f64"], flush=True)
 
