@@ -73,6 +73,22 @@ if (OUT / "checkpoint.npz").exists():
     if conf.hmc.mass_type in (2, 3):
         r.mass = r._compute_mass()  # force spectrum from the restored state
     print("resumed from checkpoint.npz (round-4 warmup state)", flush=True)
+    # the mass switch invalidates the adapted eps scale; if the restored
+    # controller state is degenerate (eps collapsed toward 0 after the
+    # switch — observed: 5e-7 with acceptance 0.83 = frozen chains),
+    # reset eps to the heuristic start and let the type-3 controller
+    # re-adapt under the new mass
+    import dataclasses as _dc
+    import jax.numpy as _jnp
+    eps_now = float(np.asarray(r.states.eps_fac).mean())
+    eps0 = conf.hmc.eps_fac_start(r.g.N)
+    if eps_now < 0.02 * eps0:
+        r.states = _dc.replace(
+            r.states,
+            eps_fac=_jnp.full_like(r.states.eps_fac, eps0),
+            eps_table=_jnp.full_like(r.states.eps_table, eps0))
+        print(f"eps reset {eps_now:.3g} -> {eps0:.3g} (degenerate after "
+              "mass switch)", flush=True)
 truth = np.asarray(r.truth)
 ts = np.asarray(r._truth_spec)
 spec_all = jax.jit(jax.vmap(r._spec_jit))
