@@ -17,6 +17,7 @@ Conventions (FOURIER_DEF_2, the reference default — Options.cmake:140-236):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from barcode_tpu.grid.spec import GridSpec
@@ -60,12 +61,37 @@ def nyquist_mask(g: GridSpec, rfft: bool = True, dtype=jnp.float32):
 
 
 def rfft3(x):
-    """Real-to-half-complex 3D FFT (unnormalized forward, = fftR2C)."""
+    """Real-to-half-complex 3D FFT (unnormalized forward, = fftR2C).
+
+    (The forward transform measured exact at 256^3 on the axon backend —
+    real AND imaginary parts to ~4e-7 vs f64 — so unlike irfft3 it needs
+    no decomposition workaround; a barriered per-axis variant was tried
+    and did not move the residual dense-program error either.)
+    """
     return jnp.fft.rfftn(x, axes=(-3, -2, -1))
 
 
 def irfft3(X, g: GridSpec):
-    """Half-complex-to-real 3D FFT with 1/N (= fftC2R)."""
+    """Half-complex-to-real 3D FFT with 1/N (= fftC2R).
+
+    On the TPU backend the inverse is decomposed into per-axis 1-D
+    transforms with optimization barriers between the stages.  Round-5
+    finding (pinned on hardware, artifacts/probe_dense_vs_slab.log +
+    probe_dense_vs_slab_{128,256}.json): the axon backend MISCOMPILES
+    3-stage inverse-FFT chains at 256^3 — `irfftn` (and the barrier-free
+    per-axis chain) returns 19-35% relative error vs f64, varying BETWEEN
+    CALLS of the same compiled program, while the forward `rfftn`, every
+    1- and 2-stage inverse chain, the barriered 3-stage chain, and the
+    shard_map-compiled slab pipeline are all exact to ~4e-7; 128^3 is
+    unaffected.  The barriers only stop a miscompiling fusion between
+    library FFT calls, so the cost is ~zero; the math is unchanged.
+    """
+    if jax.default_backend() == "tpu":
+        f = jnp.fft.ifft(X, axis=-3)
+        f = jax.lax.optimization_barrier(f)
+        f = jnp.fft.ifft(f, axis=-2)
+        f = jax.lax.optimization_barrier(f)
+        return jnp.fft.irfft(f, n=g.shape[2], axis=-1)
     return jnp.fft.irfftn(X, s=g.shape, axes=(-3, -2, -1))
 
 
